@@ -1,0 +1,149 @@
+"""1024-dim rotation-invariant descriptors (batched gather + histograms).
+
+Replaces Descriptor.generate_descriptors / step06
+(mad/Descriptor.py:106-202). Per oriented anchor:
+  * a patch_size^3 lattice (half-voxel centers on the base octave, stride-2
+    odd centers on the upsampled octave, mad/Descriptor.py:32-35) is rotated
+    into the anchor frame by R_final^-1 and offset to the anchor;
+  * the map's gradient field is sampled at those points with nearest-neighbor
+    interpolation (ties round down, matching scipy RegularGridInterpolator);
+    any point outside the grid zeroes the whole descriptor
+    (mad/Descriptor.py:141-149);
+  * samples are normalized, rotated by R_final into the canonical frame and
+    binned into subregions x EQSP zones; samples with magnitude < 1e-5 are
+    dropped (mad/Descriptor.py:153-198).
+
+Subregion ordering reproduces the reference's slice tables
+(mad/Descriptor.py:38-96) so cached descriptors are layout-compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import DescribeConfig
+from ..core.eqsp import get_eqsp
+from .orient import zone_ids_fn
+
+
+def descriptor_lattice(radius: int, upsampled: bool) -> np.ndarray:
+    """(P, 3) sample offsets in octave voxels (mad/Descriptor.py:32-35)."""
+    if upsampled:
+        r = np.arange(-2 * radius + 1, 2 * radius + 1, 2, dtype=np.float32)
+    else:
+        r = np.arange(-radius + 0.5, radius + 0.5, 1.0, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+
+def region_ids(radius: int, subregions: int) -> np.ndarray:
+    """Static subregion id per lattice point, reference slice-table order
+    (mad/Descriptor.py:38-96)."""
+    n = 2 * radius
+    idx = np.arange(n)
+    if subregions == 64:
+        bounds = [0, radius // 2, radius, 3 * radius // 2, n]
+        b = np.searchsorted(bounds, idx, side="right") - 1
+        bx, by, bz = np.meshgrid(b, b, b, indexing="ij")
+        reg = by * 16 + bx * 4 + bz
+    elif subregions == 27:
+        bounds = [0, n // 3, 2 * n // 3, n]
+        b = np.searchsorted(bounds, idx, side="right") - 1
+        bx, by, bz = np.meshgrid(b, b, b, indexing="ij")
+        reg = by * 9 + bx * 3 + bz
+    elif subregions == 8:
+        b = (idx >= radius).astype(int)
+        bx, by, bz = np.meshgrid(b, b, b, indexing="ij")
+        reg = bx * 4 + by * 2 + (1 - bz)
+    elif subregions == 1:
+        reg = np.zeros((n, n, n), dtype=int)
+    else:
+        raise ValueError(f"invalid subregions {subregions}")
+    return reg.reshape(-1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_describe(shape: Tuple[int, int, int],
+                       real_shape: Tuple[int, int, int], upsampled: bool,
+                       radius: int, subeqsp_size: int, subregions: int,
+                       cutoff: float, zero_magn: float, chunk: int):
+    eqsp = get_eqsp(subeqsp_size)
+    zone_ids = zone_ids_fn(eqsp)
+    lattice_np = descriptor_lattice(radius, upsampled)
+    regs = region_ids(radius, subregions)
+    # Group lattice points by subregion (static permutation; regions may be
+    # unequal for 27 subregions -> pad with -1 sentinels).
+    max_pts = int(np.max(np.bincount(regs, minlength=subregions)))
+    perm = np.full((subregions, max_pts), -1, dtype=np.int32)
+    for r in range(subregions):
+        pts = np.nonzero(regs == r)[0]
+        perm[r, : len(pts)] = pts
+    rs = jnp.asarray(real_shape)
+
+    def one_descriptor(grad, coord, rfinal, valid_in):
+        pts = jnp.asarray(lattice_np) @ rfinal + coord.astype(jnp.float32)
+        in_bounds = jnp.all((pts >= 0) & (pts <= (rs - 1).astype(pts.dtype)))
+        ok = valid_in & in_bounds
+        # Nearest-neighbor with .5 ties to the lower index (scipy RGI parity).
+        ids = jnp.clip(jnp.ceil(pts - 0.5).astype(jnp.int32), 0,
+                       jnp.asarray(shape) - 1)
+        g = grad[ids[:, 0], ids[:, 1], ids[:, 2]]                 # (P, 3)
+        magn = jnp.linalg.norm(g, axis=-1)
+        dirs = jnp.where((magn > cutoff)[:, None],
+                         g / jnp.maximum(magn, 1e-30)[:, None], g)
+        rotated = dirs @ rfinal.T
+        zones = zone_ids(rotated)
+        zones = jnp.where(magn < zero_magn, -1, zones)
+        zperm = jnp.where(jnp.asarray(perm) >= 0,
+                          zones[jnp.clip(jnp.asarray(perm), 0, None)], -1)
+
+        def one_zone(z):
+            return jnp.sum(zperm == z, axis=-1)                   # (R,)
+
+        counts = lax.map(one_zone, jnp.arange(subeqsp_size))       # (Z, R)
+        desc = jnp.moveaxis(counts, 0, -1).reshape(-1)             # (R*Z,)
+        return jnp.where(ok, desc, 0).astype(jnp.int32), ok
+
+    def describe(grad, coords, rfinals, valid):
+        d = coords.shape[0]
+        n_chunks = d // chunk
+
+        def do_chunk(args):
+            c, r, v = args
+            return jax.vmap(one_descriptor, in_axes=(None, 0, 0, 0))(
+                grad, c, r, v)
+
+        descs, ok = lax.map(
+            do_chunk,
+            (coords.reshape(n_chunks, chunk, 3),
+             rfinals.reshape(n_chunks, chunk, 3, 3),
+             valid.reshape(n_chunks, chunk)),
+        )
+        return (descs.reshape(d, subregions * subeqsp_size),
+                ok.reshape(d))
+
+    return jax.jit(describe)
+
+
+def describe_anchors(grad: jnp.ndarray, coords: jnp.ndarray,
+                     rfinals: jnp.ndarray, valid: jnp.ndarray, real_shape,
+                     upsampled: bool, cfg: DescribeConfig, chunk: int = 128):
+    """Descriptors for compacted oriented-anchor lanes of one octave.
+
+    coords: (D, 3) int32 anchor voxel coords; rfinals: (D, 3, 3).
+    Returns (descriptors (D, subregions*subeqsp) int32, valid (D,) bool).
+    """
+    radius = (cfg.patch_size - cfg.patch_size % 2) // 2
+    d = coords.shape[0]
+    assert d % chunk == 0, (d, chunk)
+    fn = _compiled_describe(tuple(grad.shape[:3]), tuple(real_shape),
+                            bool(upsampled), radius, cfg.subeqsp_size,
+                            cfg.subregions, float(cfg.cutoff_magn),
+                            float(cfg.zero_magn), chunk)
+    return fn(grad, coords, rfinals, valid)

@@ -1,0 +1,209 @@
+"""Canonical orientation assignment (batched EQSP spherical histograms).
+
+Replaces Orientator.assign_orientations + steps 01-05
+(mad/Orientator.py:68-343). Reference semantics preserved:
+  * gradient patch of (2r+1)^3 samples around each anchor — stride 1 on the
+    base octave, stride 2 over a double-size window on the upsampled octave
+    (mad/Orientator.py:116-167);
+  * spherical corner mask (radius * 1.05) zeroing cube corners, plus samples
+    with gradient magnitude < 1e-5 (mad/Orientator.py:37-54, 146-147);
+  * 112-zone histogram of gradient directions, quantized to int(count/max*50);
+  * candidate dominant bins: quantized count > 0.8 * max, anchor rejected if
+    more than 6 (mad/Orientator.py:181-186);
+  * per dominant bin: rotate its EQSP center to +z, re-histogram, candidate
+    secondary bins from zones 1..N-2 (pole and south cap excluded),
+    renormalized and thresholded the same way, <= 6 (mad/Orientator.py:215-242);
+  * per (main, sec): R_final = Rz(-(theta_c(sec) - theta_first(belt))) @ R_main
+    (mad/Orientator.py:105, 244-270).
+
+The reference deep-copies anchors per candidate in a Python loop; here every
+(anchor, main, sec) triple is a masked lane of fixed-width axes (K, 6, 6),
+processed in anchor chunks under vmap.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import OrientConfig
+from ..core.eqsp import EQSPSphere, get_eqsp
+from ..core.geometry import axis_angle_mat, rotation_about_z, rotation_to_pole, spherical_angles
+from .detect import Anchors
+
+TWO_PI = 2.0 * np.pi
+
+
+@dataclass
+class OrientedAnchors:
+    """Fixed-width (K, M, S) oriented-anchor lanes for one octave."""
+
+    anchor_idx: jnp.ndarray   # (K,) index into the Anchors buffer
+    main_bin: jnp.ndarray     # (K, M) int32
+    sec_bin: jnp.ndarray      # (K, M, S) int32
+    rfinal: jnp.ndarray       # (K, M, S, 3, 3) float32
+    valid: jnp.ndarray        # (K, M, S) bool
+
+
+def zone_ids_fn(eqsp: EQSPSphere):
+    """Jittable direction -> EQSP zone assignment closure."""
+    colat_edges, belt_start, belt_count, belt_theta0 = eqsp.zone_lookup_tables()
+    edges = jnp.asarray(colat_edges[:-1])
+    starts = jnp.asarray(belt_start)
+    counts = jnp.asarray(belt_count)
+    theta0s = jnp.asarray(belt_theta0)
+
+    def zone_ids(dirs):
+        theta, phi = spherical_angles(dirs)
+        belt = jnp.clip(
+            jnp.searchsorted(edges, phi, side="right"), 0, starts.shape[0] - 1
+        )
+        m = counts[belt].astype(dirs.dtype)
+        rel = (theta - theta0s[belt]) / (TWO_PI / m)
+        k = jnp.floor(rel - jnp.floor(rel / m) * m)
+        k = jnp.clip(k.astype(jnp.int32), 0, counts[belt] - 1)
+        return starts[belt] + k
+
+    return zone_ids
+
+
+def weighted_histogram(ids: jnp.ndarray, weights: jnp.ndarray, nzones: int
+                       ) -> jnp.ndarray:
+    """counts[..., z] = sum over last axis of weights where ids == z."""
+
+    def one_zone(z):
+        return jnp.sum(jnp.where(ids == z, weights, 0.0), axis=-1)
+
+    counts = lax.map(one_zone, jnp.arange(nzones, dtype=ids.dtype))
+    return jnp.moveaxis(counts, 0, -1)
+
+
+def _quantize(counts: jnp.ndarray) -> jnp.ndarray:
+    """int32(count / max * 50), max-safe (mad/Orientator.py:340)."""
+    m = jnp.max(counts, axis=-1, keepdims=True)
+    return (counts / jnp.maximum(m, 1e-30) * 50.0).astype(jnp.int32)
+
+
+def _first_k_flagged(flag: jnp.ndarray, k: int):
+    """Indices of the first k true lanes (ascending), plus the total count."""
+    order = jnp.argsort(~flag, stable=True)
+    n = jnp.sum(flag)
+    return order[:k], n
+
+
+def _sphere_mask(radius: int, gw_sig: float) -> np.ndarray:
+    """Corner-removal mask (+ optional Gaussian window),
+    parity mad/Orientator.py:37-54."""
+    r = np.arange(-radius, radius + 1)
+    gx, gy, gz = np.meshgrid(r, r, r, indexing="ij")
+    sumsq = gx * gx + gy * gy + gz * gz
+    mask = (np.sqrt(sumsq) <= radius * 1.05).astype(np.float32)
+    if gw_sig:
+        mask = mask * np.exp(-sumsq / (2.0 * gw_sig ** 2)).astype(np.float32)
+    return mask
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_orient(shape: Tuple[int, int, int],
+                     real_shape: Tuple[int, int, int], stride: int,
+                     radius: int, eqsp_size: int, max_main: int, max_sec: int,
+                     cutoff: float, gw_sig: float, chunk: int):
+    eqsp = get_eqsp(eqsp_size)
+    zone_ids = zone_ids_fn(eqsp)
+    mask_np = _sphere_mask(radius, gw_sig).reshape(-1)
+    offs = np.arange(-radius, radius + 1) * stride
+    ox, oy, oz = np.meshgrid(offs, offs, offs, indexing="ij")
+    offsets_np = np.stack([ox, oy, oz], axis=-1).reshape(-1, 3)  # (P, 3)
+    c_centers = jnp.asarray(eqsp.c_centers, dtype=jnp.float32)
+    p_theta = jnp.asarray(eqsp.p_centers[:, 0], dtype=jnp.float32)
+    belt_first = jnp.asarray(eqsp.belt_first_theta, dtype=jnp.float32)
+    rs = jnp.asarray(real_shape)
+    half = radius * stride
+
+    def one_anchor(grad, coord, valid_in):
+        # Border rejection (parity mad/Orientator.py:127-155: upper bound is
+        # conservative by one voxel, xp > s-1 rejects).
+        ok = valid_in & jnp.all(coord - half >= 0) & \
+            jnp.all(coord + half + 1 <= rs - 1)
+        safe = jnp.clip(coord, half, jnp.maximum(rs - half - 1, half))
+        pts = safe[None, :] + jnp.asarray(offsets_np, dtype=jnp.int32)  # (P,3)
+        g = grad[pts[:, 0], pts[:, 1], pts[:, 2]]                       # (P,3)
+        magn = jnp.linalg.norm(g, axis=-1)
+        dirs = g / jnp.maximum(magn, 1e-30)[:, None]
+        w = jnp.asarray(mask_np) * (magn >= cutoff)
+
+        ids0 = zone_ids(dirs)
+        q0 = _quantize(weighted_histogram(ids0, w, eqsp_size))
+        flag0 = q0 > jnp.max(q0) * 0.8
+        main_idx, n_main = _first_k_flagged(flag0, max_main)
+        ok = ok & (n_main >= 1) & (n_main <= max_main) & (jnp.max(q0) > 0)
+
+        def per_main(mbin):
+            Rm = rotation_to_pole(c_centers[mbin])
+            Rm = jnp.where(mbin == 0, jnp.eye(3, dtype=Rm.dtype), Rm)
+            ids1 = zone_ids(dirs @ Rm.T)
+            q1 = _quantize(weighted_histogram(ids1, w, eqsp_size))
+            not_pole = q1[1:-1]
+            m1 = jnp.max(not_pole)
+            nq = (not_pole.astype(jnp.float32)
+                  / jnp.maximum(m1, 1).astype(jnp.float32) * 50.0
+                  ).astype(jnp.int32)
+            flag1 = (nq > jnp.max(nq) * 0.8) & (m1 > 0)
+            sec_idx, n_sec = _first_k_flagged(flag1, max_sec)
+            sec_bins = sec_idx.astype(jnp.int32) + 1
+            main_ok = (m1 > 0) & (n_sec >= 1) & (n_sec <= max_sec)
+            ftheta = -(p_theta[sec_bins] - belt_first[sec_bins])
+            Rz = rotation_about_z(ftheta)                      # (S, 3, 3)
+            rfin = Rz @ Rm[None]
+            sec_ok = jnp.arange(max_sec) < n_sec
+            return sec_bins, rfin, main_ok & sec_ok
+
+        mains = main_idx.astype(jnp.int32)
+        sec_bins, rfin, sub_ok = jax.vmap(per_main)(mains)
+        main_ok = jnp.arange(max_main) < n_main
+        valid = ok & main_ok[:, None] & sub_ok
+        return mains, sec_bins, rfin, valid
+
+    def orient(grad, coords, valid):
+        k = coords.shape[0]
+        n_chunks = k // chunk
+
+        def do_chunk(args):
+            c, v = args
+            return jax.vmap(one_anchor, in_axes=(None, 0, 0))(grad, c, v)
+
+        outs = lax.map(
+            do_chunk,
+            (coords.reshape(n_chunks, chunk, 3), valid.reshape(n_chunks, chunk)),
+        )
+        mains, secs, rfin, ok = outs
+        return (mains.reshape(k, max_main),
+                secs.reshape(k, max_main, max_sec),
+                rfin.reshape(k, max_main, max_sec, 3, 3),
+                ok.reshape(k, max_main, max_sec))
+
+    return jax.jit(orient)
+
+
+def orient_anchors(grad: jnp.ndarray, anchors: Anchors, real_shape,
+                   upsampled: bool, cfg: OrientConfig, chunk: int = 128
+                   ) -> OrientedAnchors:
+    """Assign canonical frames to all anchors of one octave."""
+    radius = (cfg.patch_size - cfg.patch_size % 2) // 2
+    stride = 2 if upsampled else 1
+    k = anchors.capacity
+    assert k % chunk == 0, (k, chunk)
+    fn = _compiled_orient(tuple(grad.shape[:3]), tuple(real_shape), stride,
+                          radius, cfg.eqsp_size, cfg.max_main, cfg.max_sec,
+                          float(cfg.cutoff_magn), float(cfg.gw_sig), chunk)
+    mains, secs, rfin, ok = fn(grad, anchors.coords, anchors.valid)
+    return OrientedAnchors(
+        anchor_idx=jnp.arange(k, dtype=jnp.int32),
+        main_bin=mains, sec_bin=secs, rfinal=rfin, valid=ok,
+    )
