@@ -1,0 +1,105 @@
+"""End-to-end benchmark: rigid fit of a 10-subunit assembly, ~256^3 map.
+
+North-star target (BASELINE.md): full fit < 60 s on one TPU v5e at
+RMSD/CC parity. The reference publishes no timing numbers
+(/root/reference/README.md has none), so vs_baseline is measured against the
+60 s target: vs_baseline = 60 / measured_seconds (higher is better).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_system(n_copies=10, n_res=220, voxsp=1.6, resolution=10.0,
+                 spread=95.0, seed=0):
+    from mad_tpu.testing import make_assembly
+    from mad_tpu.ops.simulate import simulate_density
+
+    sub, copies = make_assembly(n_copies=n_copies, n_res=n_res, seed=seed,
+                                spread=spread)
+    coords = np.concatenate([c.coords for c in copies])
+    masses = np.concatenate([c.masses for c in copies])
+    dmap = simulate_density(coords, resolution, voxsp,
+                            masses=masses).reduce_void()
+    return sub, copies, dmap
+
+
+def run_fit(sub, copies, dmap, resolution, cfg):
+    """Describe map + subunit, dock n_copies, enumerate assembly."""
+    from mad_tpu.engine.pipeline import describe_grid, describe_structure
+    from mad_tpu.engine.docking import dock_structure
+    from mad_tpu.engine import assemble as asm
+
+    n_copies = len(copies)
+    map_set = describe_grid(dmap, cfg, name="bench_map")
+    # Decoy transform (self-fit protocol, reference run_MaD.py path)
+    moved = sub.with_coords(sub.coords - sub.center() + [150.0, 0.0, 0.0])
+    sub_set = describe_structure(moved, resolution, dmap.voxsp, cfg,
+                                 name="bench_sub")
+    sols = dock_structure(map_set, sub_set, moved, dmap, resolution, cfg,
+                          n_copies=n_copies, verbose=False)
+    n_models = 0
+    if len(sols) >= 2:
+        structures = [s.structure for s in sols]
+        grids = asm.solution_grids(structures, cfg.assembly)
+        overlap = asm._overlap_matrix(grids, cfg.assembly)
+        tuples, sums, stds, maxs = asm.enumerate_homomultimer(
+            len(sols), min(n_copies, len(sols)), overlap)
+        models = asm.score_models(tuples, sums, stds, maxs, structures, dmap,
+                                  cfg.assembly, 10, 0.1)
+        n_models = len(models)
+    return sols, n_models
+
+
+def accuracy(sols, copies):
+    """Best CA-RMSD of each true pose against the solution set."""
+    rmsds = []
+    for c in copies:
+        best = min((s.structure.rmsd_ca_with(c) for s in sols),
+                   default=np.inf)
+        rmsds.append(best)
+    return rmsds
+
+
+def main():
+    from mad_tpu.core.config import MadConfig
+
+    cfg = MadConfig()
+    t0 = time.time()
+    sub, copies, dmap = build_system()
+    sys.stderr.write(f"bench> map {dmap.shape} built in "
+                     f"{time.time() - t0:.1f}s\n")
+
+    # Warm-up pass: compiles every kernel at the benchmark shapes.
+    t0 = time.time()
+    sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
+    sys.stderr.write(f"bench> warmup (incl. compile): "
+                     f"{time.time() - t0:.1f}s, {len(sols)} solutions, "
+                     f"{n_models} models\n")
+
+    # Timed steady-state pass.
+    t0 = time.time()
+    sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
+    elapsed = time.time() - t0
+    rmsds = accuracy(sols, copies)
+    found = int(np.sum(np.asarray(rmsds) < 10.0))
+    sys.stderr.write(
+        f"bench> timed: {elapsed:.2f}s, {len(sols)} solutions, "
+        f"{found}/{len(copies)} subunits recovered, "
+        f"median best CA-RMSD {np.median(rmsds):.2f} A\n")
+
+    print(json.dumps({
+        "metric": "e2e_fit_10sub_256cube_seconds",
+        "value": round(elapsed, 3),
+        "unit": "s",
+        "vs_baseline": round(60.0 / max(elapsed, 1e-9), 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""Content-addressed descriptor cache (HDF5).
+
+Parity with the reference's dsc_db/ store (mad/MaD.py:116-162, 848-875,
+mad/Descriptor.py:226-254): same dataset names ('dsc', 'info', 'coords',
+'rot') and the same parameter-string file naming, so cached runs short-cut
+the describe pipeline identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+try:
+    import h5py
+except ImportError:  # pragma: no cover
+    h5py = None
+
+from .engine.pipeline import DescriptorSet
+
+
+def cache_filename(db_dir: str, name: str, resolution: float, isovalue: float,
+                   detect_sigma: float, presmooth_sigma: float,
+                   patch_size: int, ori_eqsp: int, dsc_eqsp: int,
+                   subregions: int) -> str:
+    """Reference-compatible cache key (mad/MaD.py:118)."""
+    return os.path.join(
+        db_dir,
+        f"{name}_res{resolution}_iso{isovalue}_detSig{detect_sigma}"
+        f"_presmooth{presmooth_sigma}_patch{patch_size}_orieqsp{ori_eqsp}"
+        f"_dsceqsp{dsc_eqsp}_subregions{subregions}.h5")
+
+
+def save_descriptors(ds: DescriptorSet, path: str) -> None:
+    with h5py.File(path, "w") as hf:
+        hf.create_dataset("dsc", data=ds.desc.astype(np.int16))
+        info = np.stack([
+            ds.anchor_id, ds.main_bin, ds.sec_bin, ds.octave,
+            np.full(ds.n, ds.eqsp_size), np.full(ds.n, ds.subeqsp_size),
+        ], axis=1).astype(np.uint16)
+        hf.create_dataset("info", data=info)
+        coords = np.stack([ds.coords.astype(np.float64), ds.map_coords,
+                           ds.subv_coords], axis=1)
+        hf.create_dataset("coords", data=coords)
+        hf.create_dataset("rot", data=ds.rfinal.astype(np.float64))
+
+
+def load_descriptors(path: str, name: str = "") -> DescriptorSet:
+    with h5py.File(path, "r") as hf:
+        desc = np.asarray(hf["dsc"]).astype(np.int16)
+        info = np.asarray(hf["info"])
+        coords = np.asarray(hf["coords"])
+        rot = np.asarray(hf["rot"]).astype(np.float32)
+    norm = desc.astype(np.float32)
+    lens = np.linalg.norm(norm, axis=1, keepdims=True)
+    norm = np.where(lens > 0, norm / np.where(lens > 0, lens, 1.0), norm)
+    n = desc.shape[0]
+    return DescriptorSet(
+        desc=desc, desc_norm=norm,
+        coords=coords[:, 0].astype(np.float32),
+        map_coords=coords[:, 1], subv_coords=coords[:, 2], rfinal=rot,
+        octave=info[:, 3].astype(np.int32),
+        anchor_id=info[:, 0].astype(np.int32),
+        main_bin=info[:, 1].astype(np.int32),
+        sec_bin=info[:, 2].astype(np.int32),
+        eqsp_size=int(info[0, 4]) if n else 112,
+        subeqsp_size=int(info[0, 5]) if n else 16,
+        name=name or os.path.splitext(os.path.basename(path))[0])

@@ -15,10 +15,8 @@ from typing import Tuple
 
 import numpy as np
 
-try:
-    import mrcfile
-except ImportError:  # pragma: no cover - baked into the image
-    mrcfile = None
+from .mrc_io import read_mrc as _read_mrc_file
+from .mrc_io import write_mrc as _write_mrc_file
 
 
 @dataclass
@@ -184,38 +182,25 @@ def _read_sit(path: str, name: str) -> DensityGrid:
 
 
 def _read_mrc(path: str, name: str) -> DensityGrid:
-    with mrcfile.open(path) as mrc:
-        axis_order = [int(mrc.header.mapc) - 1, int(mrc.header.mapr) - 1,
-                      int(mrc.header.maps) - 1]
-        voxsp = float(mrc.voxel_size.x)
-        if np.all([mrc.header.nxstart, mrc.header.nystart, mrc.header.nzstart]):
-            start = np.array([mrc.header.nxstart, mrc.header.nystart,
-                              mrc.header.nzstart], dtype=np.int64)
-            origin = np.array([start[a] * voxsp for a in axis_order])
-        else:
-            o = np.array([mrc.header.origin.x, mrc.header.origin.y,
-                          mrc.header.origin.z], dtype=np.float64)
-            origin = np.array([o[a] for a in axis_order])
-        data = np.transpose(mrc.data.copy(), axis_order[::-1]).astype(np.float32)
+    hdr, raw = _read_mrc_file(path)
+    axis_order = [hdr.mapc - 1, hdr.mapr - 1, hdr.maps - 1]
+    voxsp = hdr.voxel_size_x
+    if all([hdr.nxstart, hdr.nystart, hdr.nzstart]):
+        start = np.array([hdr.nxstart, hdr.nystart, hdr.nzstart])
+        origin = np.array([start[a] * voxsp for a in axis_order],
+                          dtype=np.float64)
+    else:
+        o = np.asarray(hdr.origin, dtype=np.float64)
+        origin = np.array([o[a] for a in axis_order])
+    data = np.transpose(raw, axis_order[::-1]).astype(np.float32)
     return DensityGrid(data=data, origin=origin, voxsp=voxsp, name=name)
 
 
 def write_mrc(grid: DensityGrid, path: str) -> None:
     """Write MRC with mapc/r/s = 1/2/3 and origin header
     (parity: mad/Dmap.py:392-416)."""
-    with mrcfile.new(path, overwrite=True) as mrc:
-        mrc.set_data(grid.data.astype(np.float32).transpose(2, 1, 0))
-        mrc.mode = 2
-        xb, yb, zb = grid.shape
-        mrc.header.mx, mrc.header.my, mrc.header.mz = xb, yb, zb
-        mrc.header.nxstart = mrc.header.nystart = mrc.header.nzstart = 0
-        mrc.header.origin.x = grid.origin[0]
-        mrc.header.origin.y = grid.origin[1]
-        mrc.header.origin.z = grid.origin[2]
-        mrc.header.cella.x = xb * grid.voxsp
-        mrc.header.cella.y = yb * grid.voxsp
-        mrc.header.cella.z = zb * grid.voxsp
-        mrc.header.mapc, mrc.header.mapr, mrc.header.maps = 1, 2, 3
+    _write_mrc_file(path, grid.data.astype(np.float32).transpose(2, 1, 0),
+                    grid.voxsp, grid.origin)
 
 
 def write_sit(grid: DensityGrid, path: str) -> None:

@@ -1,0 +1,128 @@
+"""Combinatorial assembly building from per-subunit solutions.
+
+Replaces MaD.build_assembly / _build_from_single / _build_models
+(mad/MaD.py:192-223, 632-843):
+  * per solution, a low-resolution occupancy grid (5 A / 2 A voxels /
+    isovalue 0.2) simulated on device;
+  * pairwise overlap fractions between all solutions;
+  * homomultimers: all C(n_solutions, n_copies) combinations scored by
+    [sum, std, max] pairwise overlap — the reference loops tuples in Python,
+    here the overlap gathers are vectorized numpy over the combination index
+    matrix;
+  * heteromers: per-subunit subcomplexes, then the cartesian product across
+    subunits;
+  * models kept while max overlap <= threshold, CC-scored against the map at
+    4 A, written as multi-chain PDBs with a complex_ranking.csv.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from itertools import combinations, product
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..core.config import AssemblyConfig
+from ..core.grid import DensityGrid, ccc_grids, overlap_fraction
+from ..core.structure import Structure
+from ..ops.simulate import simulate_density
+
+
+@dataclass
+class AssemblyModel:
+    components: List[int]          # global solution indices
+    ccc: float
+    sum_overlap: float
+    std_overlap: float
+    max_overlap: float
+
+
+def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig
+                    ) -> np.ndarray:
+    n = len(grids)
+    ov = np.zeros((n, n))
+    for i, j in combinations(range(n), 2):
+        ov[i, j] = overlap_fraction(
+            grids[i].data, grids[i].origin, grids[j].data, grids[j].origin,
+            cfg.sim_voxsp)
+    return ov
+
+
+def solution_grids(structures: Sequence[Structure], cfg: AssemblyConfig
+                   ) -> List[DensityGrid]:
+    """Low-res occupancy grids per solution (mad/MaD.py:659)."""
+    return [simulate_density(s, cfg.sim_resolution, cfg.sim_voxsp,
+                             isovalue=cfg.sim_isovalue) for s in structures]
+
+
+def _score_tuples(tuples: np.ndarray, overlap: np.ndarray):
+    """[sum/n, std, max] of pairwise overlaps per tuple (vectorized)."""
+    n_copies = tuples.shape[1]
+    if n_copies == 1:
+        z = np.zeros(len(tuples))
+        return z, z, z
+    pair_idx = list(combinations(range(n_copies), 2))
+    a = tuples[:, [p[0] for p in pair_idx]]
+    b = tuples[:, [p[1] for p in pair_idx]]
+    vals = overlap[a, b]
+    return vals.sum(axis=1) / n_copies, vals.std(axis=1), vals.max(axis=1)
+
+
+def enumerate_homomultimer(n_solutions: int, n_copies: int,
+                           overlap: np.ndarray):
+    """Sorted candidate tuples for a homomultimer (mad/MaD.py:686-694)."""
+    n_copies = min(n_copies, n_solutions)
+    if n_copies == 1:
+        tuples = np.arange(n_solutions)[:, None]
+    else:
+        tuples = np.array(list(combinations(range(n_solutions), n_copies)))
+    s, sd, mx = _score_tuples(tuples, overlap)
+    order = np.argsort(mx, kind="stable")
+    return tuples[order], s[order], sd[order], mx[order]
+
+
+def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray):
+    """Cartesian product of per-subunit candidate lists (mad/MaD.py:799-805).
+
+    groups maps subunit key -> list of global solution indices (or of
+    subcomplex indices). Scored by overlaps over all index pairs of the
+    tuple, summed (reference uses the full meshgrid including the diagonal,
+    which is zero).
+    """
+    lists = [np.asarray(v) for v in groups.values()]
+    tuples = np.array(list(product(*[range(len(v)) for v in lists])))
+    gather = np.stack([lists[k][tuples[:, k]] for k in range(len(lists))],
+                      axis=1)
+    sym = overlap + overlap.T
+    n = gather.shape[1]
+    pair_idx = [(i, j) for i in range(n) for j in range(n)]
+    a = gather[:, [p[0] for p in pair_idx]]
+    b = gather[:, [p[1] for p in pair_idx]]
+    vals = sym[a, b] * 0.5
+    s = vals.sum(axis=1)
+    sd = vals.std(axis=1)
+    mx = vals.max(axis=1)
+    order = np.argsort(s, kind="stable")
+    return gather[order], s[order], sd[order], mx[order]
+
+
+def score_models(tuples: np.ndarray, sums, stds, maxs,
+                 structures: Sequence[Structure], dmap: DensityGrid,
+                 cfg: AssemblyConfig, max_models: int, max_overlap: float
+                 ) -> List[AssemblyModel]:
+    """CC-score the accepted models (mad/MaD.py:726-745)."""
+    out: List[AssemblyModel] = []
+    for cnt, tup in enumerate(tuples):
+        if cnt >= max_models or (maxs[cnt] > max_overlap and cnt):
+            break
+        coords = np.concatenate([structures[i].coords for i in tup])
+        masses = np.concatenate([structures[i].masses for i in tup])
+        g = simulate_density(coords, cfg.cc_resolution, dmap.voxsp,
+                             masses=masses)
+        ccc = ccc_grids(dmap.data, dmap.origin, g.data, g.origin, dmap.voxsp)
+        out.append(AssemblyModel(
+            components=[int(i) for i in tup], ccc=float(ccc),
+            sum_overlap=float(sums[cnt]), std_overlap=float(stds[cnt]),
+            max_overlap=float(maxs[cnt])))
+    return out

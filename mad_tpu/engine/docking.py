@@ -1,0 +1,111 @@
+"""Per-subunit docking: match -> filter -> refine -> score -> dedup.
+
+Replaces MaD._match_filter_refine / _refine_filtered_solutions
+(mad/MaD.py:371-411, 556-629).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..core.config import MadConfig
+from ..core.geometry import kabsch
+from ..core.grid import DensityGrid, ccc_grids
+from ..core.structure import Structure
+from ..ops.simulate import simulate_density
+from .pipeline import DescriptorSet
+from .match import match_descriptors, MatchTable
+from .cluster import filter_pairs, Candidate
+from .refine import refine_candidates
+
+
+@dataclass
+class Solution:
+    """One refined, deduplicated docking solution."""
+
+    structure: Structure           # refined pose
+    corresp_anchors: np.ndarray    # (K, 3) matched anchors post-refine
+    repeat: float
+    weight: int
+    ccc: float
+    members: List[np.ndarray] = field(default_factory=list)
+    score: float = 0.0             # RWmCC = repeat * weight * ccc
+
+
+def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
+                   sub_struct: Structure, dmap: DensityGrid,
+                   resolution: float, cfg: MadConfig, n_copies: int = 1,
+                   verbose: bool = True) -> List[Solution]:
+    """Dock one subunit into the map; returns scored unique solutions."""
+    n_samples = cfg.filter.n_samples * n_copies
+
+    table = match_descriptors(
+        map_set, sub_set, dmap.shape, dmap.origin, dmap.voxsp, cfg.match)
+    if verbose:
+        print(f"MaD> {table.n} descriptor pairs above "
+              f"cc={cfg.match.cc_threshold:.2f}")
+    if table.n == 0:
+        return []
+
+    hi_bins = sub_set.main_bin[table.hi_idx]
+    lo_bins = map_set.main_bin[table.lo_idx]
+    candidates = filter_pairs(table, hi_bins, lo_bins, cfg.filter, n_samples)
+    if verbose:
+        print(f"MaD> {len(candidates)} filtered pose candidates")
+    if not candidates:
+        return []
+
+    # Build start coordinates for every candidate and refine them together.
+    x0 = sub_struct.coords
+    starts = np.stack([
+        (x0 - c.hi_coord) @ c.rot.T + c.lo_coord for c in candidates
+    ]).astype(np.float32)
+    res = refine_candidates(dmap, starts, cfg.refine)
+
+    # Re-scored repeatability after refinement (mad/MaD.py:580-590).
+    lo_tree = cKDTree(table.lo_cloud)
+    thresh = dmap.voxsp * 1.5
+    refined: List[tuple] = []
+    for i, cand in enumerate(candidates):
+        R_j, T_j = kabsch(x0, res.coords[i])
+        R, T = np.asarray(R_j), np.asarray(T_j)
+        s_a = table.hi_cloud @ R + T
+        d, _ = lo_tree.query(s_a, distance_upper_bound=thresh)
+        hits = d <= thresh
+        repeat = 100.0 * np.count_nonzero(hits) / table.hi_cloud.shape[0]
+        if repeat <= 0:
+            continue
+        refined.append((res.coords[i], s_a[hits], repeat, cand.weight,
+                        cand.members))
+
+    # Deduplicate by CA RMSD < dedup_rmsd, merging weights
+    # (mad/MaD.py:592-620), then CC-score the unique poses.
+    solutions: List[Solution] = []
+    for coords, corresp, repeat, weight, members in refined:
+        struct = sub_struct.with_coords(coords)
+        merged = False
+        if solutions:
+            rmsds = [struct.rmsd_ca_with(s.structure) for s in solutions]
+            j = int(np.argmin(rmsds))
+            if rmsds[j] < cfg.refine.dedup_rmsd:
+                solutions[j].weight += weight
+                solutions[j].members.extend(members)
+                merged = True
+        if not merged:
+            sub_grid = simulate_density(
+                struct, resolution, dmap.voxsp,
+                shape_bucket=cfg.shape_bucket)
+            ccc = ccc_grids(dmap.data, dmap.origin, sub_grid.data,
+                            sub_grid.origin, dmap.voxsp)
+            solutions.append(Solution(
+                structure=struct, corresp_anchors=corresp, repeat=repeat,
+                weight=weight, ccc=float(ccc), members=list(members)))
+
+    for s in solutions:
+        s.score = s.repeat * s.weight * s.ccc
+    solutions.sort(key=lambda s: s.score, reverse=True)
+    return solutions

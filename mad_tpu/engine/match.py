@@ -1,0 +1,239 @@
+"""Descriptor matching + pose repeatability scoring.
+
+Replaces MaD._match_dsc (mad/MaD.py:414-453):
+  * cosine similarity between all (subunit, map) descriptor pairs — one MXU
+    matmul instead of np.dot on host;
+  * candidate pairs above cc_threshold selected into a static-capacity
+    buffer via per-row + global top_k (the reference walks np.where output);
+  * per pair, relative pose R = R_lo^T @ R_hi and repeatability = % of the
+    subunit's (unique) anchor cloud landing within ``anchor_dist`` of a map
+    anchor after the pose transform. The reference queries a cKDTree per
+    pair in a Python loop; here a dilated occupancy field of the map anchors
+    gives an O(A) approximate score for every pair at once, and the top
+    ``exact_top`` pairs are re-scored with exact brute-force NN distances
+    (batched matmul) so the ordering consumed by clustering is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import MatchConfig, bucket
+from .pipeline import DescriptorSet
+
+
+@dataclass
+class MatchTable:
+    """Per-pair match data, sorted by repeatability (descending)."""
+
+    cc: np.ndarray            # (P,) descriptor cosine similarity
+    repeat: np.ndarray        # (P,) repeatability %
+    hi_idx: np.ndarray        # (P,) row into the subunit DescriptorSet
+    lo_idx: np.ndarray        # (P,) row into the map DescriptorSet
+    rot: np.ndarray           # (P, 3, 3) pose rotation R = R_lo^T R_hi
+    hi_coord: np.ndarray      # (P, 3) subunit anchor of the pair (A)
+    lo_coord: np.ndarray      # (P, 3) map anchor of the pair (A)
+    hi_cloud: np.ndarray      # (A_hi, 3) unique subunit anchor coords (A)
+    lo_cloud: np.ndarray      # (A_lo, 3) unique map anchor coords (A)
+
+    @property
+    def n(self) -> int:
+        return self.cc.shape[0]
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
+                         threshold: float):
+    def run(hi, lo):
+        sim = jnp.dot(hi, lo.T, preferred_element_type=jnp.float32)
+        k = min(row_cap, dl)
+        vals, cols = lax.top_k(sim, k)                    # (dh, k)
+        flat = vals.reshape(-1)
+        gvals, gidx = lax.top_k(flat, min(max_pairs, flat.shape[0]))
+        rows = gidx // k
+        lcols = jnp.take_along_axis(
+            cols.reshape(-1), gidx, axis=0)
+        ok = gvals > threshold
+        return gvals, rows.astype(jnp.int32), lcols.astype(jnp.int32), ok
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
+    """Occupancy-of-map-anchors field dilated by a voxel sphere."""
+    r = radius_vox
+    g = np.mgrid[-r:r + 1, -r:r + 1, -r:r + 1]
+    sphere = (np.sum(g * g, axis=0) <= r * r).astype(np.float32)
+    kern = jnp.asarray(sphere[None, None])
+
+    def build(pos_vox, valid):
+        occ = jnp.zeros(shape, dtype=jnp.float32)
+        occ = occ.at[pos_vox[:, 0], pos_vox[:, 1], pos_vox[:, 2]].max(
+            jnp.where(valid, 1.0, 0.0), mode="drop")
+        out = lax.conv_general_dilated(
+            occ[None, None], kern, (1, 1, 1),
+            padding=[(r, r), (r, r), (r, r)],
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+        return (out[0, 0] > 0).astype(jnp.int8)
+
+    return jax.jit(build)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_approx_repeat(shape: Tuple[int, int, int], a_hi: int,
+                            n_pairs: int, chunk: int):
+    def run(field, hi_cloud, hi_valid, origin, inv_voxsp, rot, hi_coord,
+            lo_coord):
+        denom = jnp.maximum(jnp.sum(hi_valid), 1)
+
+        def one_chunk(args):
+            R, h, l = args
+            # (c, A, 3): transformed cloud per pair in the chunk
+            pts = jnp.einsum("cad,ced->cae", hi_cloud[None] - h[:, None], R) \
+                + l[:, None]
+            vox = jnp.round((pts - origin) * inv_voxsp).astype(jnp.int32)
+            inb = jnp.all(
+                (vox >= 0) & (vox < jnp.asarray(shape)), axis=-1)
+            vox = jnp.clip(vox, 0, jnp.asarray(shape) - 1)
+            hit = field[vox[..., 0], vox[..., 1], vox[..., 2]] > 0
+            cnt = jnp.sum(hit & inb & hi_valid[None], axis=-1)
+            return 100.0 * cnt / denom
+
+        n_chunks = n_pairs // chunk
+        out = lax.map(one_chunk, (
+            rot.reshape(n_chunks, chunk, 3, 3),
+            hi_coord.reshape(n_chunks, chunk, 3),
+            lo_coord.reshape(n_chunks, chunk, 3)))
+        return out.reshape(n_pairs)
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_exact_repeat(a_hi: int, a_lo: int, n_pairs: int, chunk: int,
+                           thresh: float):
+    def run(hi_cloud, hi_valid, lo_cloud, lo_valid, rot, hi_coord, lo_coord):
+        denom = jnp.maximum(jnp.sum(hi_valid), 1)
+        lo_sq = jnp.sum(lo_cloud * lo_cloud, axis=-1)
+
+        def one_chunk(args):
+            R, h, l = args
+            pts = jnp.einsum("cad,ced->cae", hi_cloud[None] - h[:, None], R) \
+                + l[:, None]
+            d2 = (jnp.sum(pts * pts, axis=-1)[..., None] + lo_sq[None, None]
+                  - 2.0 * jnp.einsum("cad,ld->cal", pts, lo_cloud))
+            d2 = jnp.where(lo_valid[None, None], d2, jnp.inf)
+            dmin = jnp.min(d2, axis=-1)
+            cnt = jnp.sum((dmin < thresh * thresh) & hi_valid[None], axis=-1)
+            return 100.0 * cnt / denom
+
+        n_chunks = n_pairs // chunk
+        out = lax.map(one_chunk, (
+            rot.reshape(n_chunks, chunk, 3, 3),
+            hi_coord.reshape(n_chunks, chunk, 3),
+            lo_coord.reshape(n_chunks, chunk, 3)))
+        return out.reshape(n_pairs)
+
+    return jax.jit(run)
+
+
+def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
+    out = np.full((n,) + arr.shape[1:], fill, dtype=arr.dtype)
+    out[: arr.shape[0]] = arr
+    return out
+
+
+def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
+                      grid_shape, grid_origin, voxsp: float,
+                      cfg: MatchConfig) -> MatchTable:
+    """hi = subunit, lo = map (reference naming, mad/MaD.py:414)."""
+    dh = bucket(max(sub_set.n, 128), 128)
+    dl = bucket(max(map_set.n, 128), 128)
+    hi = _pad_rows(sub_set.desc_norm, dh)
+    lo = _pad_rows(map_set.desc_norm, dl)
+    sim_fn = _compiled_similarity(dh, dl, 64, cfg.max_pairs,
+                                  float(cfg.cc_threshold))
+    ccs, rows, cols, ok = sim_fn(jnp.asarray(hi), jnp.asarray(lo))
+    ccs = np.asarray(ccs)
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    ok = np.asarray(ok) & (rows < sub_set.n) & (cols < map_set.n)
+    keep = np.nonzero(ok)[0]
+    if len(keep) == 0:
+        e = np.zeros(0)
+        e3 = np.zeros((0, 3))
+        return MatchTable(cc=e, repeat=e, hi_idx=e.astype(int),
+                          lo_idx=e.astype(int), rot=np.zeros((0, 3, 3)),
+                          hi_coord=e3, lo_coord=e3, hi_cloud=e3, lo_cloud=e3)
+    ccs, rows, cols = ccs[keep], rows[keep], cols[keep]
+
+    # Unique anchor clouds from matched descriptors (mad/MaD.py:427-428).
+    hi_cloud = np.unique(sub_set.subv_coords[rows], axis=0)
+    lo_cloud = np.unique(map_set.subv_coords[cols], axis=0)
+
+    # Relative pose per pair: R = R_lo^T @ R_hi (mad/MaD.py:438).
+    r_hi = sub_set.rfinal[rows]
+    r_lo = map_set.rfinal[cols]
+    rot = np.einsum("pji,pjk->pik", r_lo, r_hi)  # R_lo^T @ R_hi
+    hi_coord = sub_set.subv_coords[rows]
+    lo_coord = map_set.subv_coords[cols]
+
+    # Stage A: approximate repeatability for every pair via dilated field.
+    p = bucket(len(rows), 256)
+    a_hi = bucket(hi_cloud.shape[0], 256)
+    a_lo = bucket(lo_cloud.shape[0], 256)
+    hi_cloud_p = _pad_rows(hi_cloud.astype(np.float32), a_hi)
+    hi_valid = np.zeros(a_hi, bool)
+    hi_valid[: hi_cloud.shape[0]] = True
+    lo_cloud_p = _pad_rows(lo_cloud.astype(np.float32), a_lo)
+    lo_valid = np.zeros(a_lo, bool)
+    lo_valid[: lo_cloud.shape[0]] = True
+    rot_p = _pad_rows(rot.astype(np.float32), p)
+    rot_p[len(rows):] = np.eye(3)
+    hc_p = _pad_rows(hi_coord.astype(np.float32), p)
+    lc_p = _pad_rows(lo_coord.astype(np.float32), p)
+
+    r_vox = max(1, int(round(cfg.anchor_dist / voxsp)))
+    field_fn = _compiled_field(tuple(grid_shape), r_vox)
+    lo_vox = np.clip(np.round(
+        (lo_cloud_p - np.asarray(grid_origin, dtype=np.float32)) / voxsp
+    ).astype(np.int32), 0, np.asarray(grid_shape) - 1)
+    field = field_fn(jnp.asarray(lo_vox), jnp.asarray(lo_valid))
+
+    approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256)
+    rep = np.asarray(approx_fn(
+        field, jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
+        jnp.asarray(np.asarray(grid_origin, dtype=np.float32)),
+        np.float32(1.0 / voxsp), jnp.asarray(rot_p), jnp.asarray(hc_p),
+        jnp.asarray(lc_p)))[: len(rows)]
+
+    # Stage B: exact re-scoring of the top pairs (ordering-critical set).
+    if cfg.exact_top > 0:
+        n_exact = min(bucket(cfg.exact_top, 64), bucket(len(rows), 64))
+        top = np.argsort(-rep, kind="stable")[:n_exact]
+        er = _pad_rows(rot[top].astype(np.float32), bucket(len(top), 64))
+        er[len(top):] = np.eye(3)
+        eh = _pad_rows(hi_coord[top].astype(np.float32), bucket(len(top), 64))
+        el = _pad_rows(lo_coord[top].astype(np.float32), bucket(len(top), 64))
+        exact_fn = _compiled_exact_repeat(a_hi, a_lo, er.shape[0], 16,
+                                          float(cfg.anchor_dist))
+        erep = np.asarray(exact_fn(
+            jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
+            jnp.asarray(lo_cloud_p), jnp.asarray(lo_valid),
+            jnp.asarray(er), jnp.asarray(eh), jnp.asarray(el)))[: len(top)]
+        rep = rep.copy()
+        rep[top] = erep
+
+    order = np.argsort(-rep, kind="stable")
+    return MatchTable(
+        cc=ccs[order], repeat=rep[order], hi_idx=rows[order],
+        lo_idx=cols[order], rot=rot[order], hi_coord=hi_coord[order],
+        lo_coord=lo_coord[order], hi_cloud=hi_cloud, lo_cloud=lo_cloud)

@@ -1,0 +1,144 @@
+"""Full describe pipeline: density grid -> descriptor set.
+
+Replaces MaD._describe_struct (mad/MaD.py:358-368): scale space -> detect ->
+orient -> describe, per octave, then compaction of the fixed-width oriented
+lanes into a dense descriptor table (the reference builds a Python list of
+DensityFeature objects; here the result is a struct-of-arrays on host).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.config import MadConfig, bucket
+from ..core.grid import DensityGrid
+from ..core.structure import Structure
+from ..ops.simulate import simulate_density
+from ..ops.scalespace import build_scale_space
+from ..ops.detect import detect_anchors
+from ..ops.orient import orient_anchors
+from ..ops.describe import describe_anchors
+
+
+@dataclass
+class DescriptorSet:
+    """Dense descriptor table for one structure (host arrays).
+
+    Layout matches the reference h5 schema (mad/MaD.py:848-859): ``desc`` is
+    (N, subregions*subeqsp) int counts; ``info`` columns are
+    [index, main_bin, sec_bin, octave, eqsp_size, subeqsp_size].
+    """
+
+    desc: np.ndarray          # (N, D) int16
+    desc_norm: np.ndarray     # (N, D) float32, L2-normalized rows
+    coords: np.ndarray        # (N, 3) float32 voxel coords in own octave
+    map_coords: np.ndarray    # (N, 3) float64 on-lattice coords (A)
+    subv_coords: np.ndarray   # (N, 3) float64 subvoxel coords (A)
+    rfinal: np.ndarray        # (N, 3, 3) float32
+    octave: np.ndarray        # (N,) int32
+    anchor_id: np.ndarray     # (N,) int32 global anchor index
+    main_bin: np.ndarray      # (N,) int32
+    sec_bin: np.ndarray       # (N,) int32
+    eqsp_size: int = 112
+    subeqsp_size: int = 16
+    name: str = ""
+
+    @property
+    def n(self) -> int:
+        return self.desc.shape[0]
+
+    def unique_anchor_coords(self, rows: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
+        """Unique subvoxel anchor coordinates (sorted, np.unique parity with
+        mad/MaD.py:427-428)."""
+        c = self.subv_coords if rows is None else self.subv_coords[rows]
+        return np.unique(c, axis=0)
+
+
+def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
+                  ) -> DescriptorSet:
+    """Run the full anchor/orientation/descriptor chain on a density grid."""
+    ss = build_scale_space(grid, cfg.scalespace, cfg.shape_bucket)
+    rows = []
+    anchor_base = 0
+    for oi, octv in enumerate(ss.octaves):
+        upsampled = octv.voxsp < grid.voxsp
+        anch = detect_anchors(octv.log, octv.real_shape, cfg.detect)
+        ori = orient_anchors(octv.grad, anch, octv.real_shape, upsampled,
+                             cfg.orient)
+        K, M, S = ori.valid.shape
+        flat_valid = np.asarray(ori.valid).reshape(-1)
+        n_valid = int(flat_valid.sum())
+        if n_valid == 0:
+            anchor_base += K
+            continue
+        cap = min(bucket(max(n_valid, 128), 128), K * M * S)
+        if n_valid > cfg.describe.max_descriptors:
+            cap = cfg.describe.max_descriptors  # overflow: keep first lanes
+        order = np.argsort(~flat_valid, kind="stable")[:cap]
+        lane_anchor = order // (M * S)
+        lane_main = (order // S) % M
+        lane_sec = order % S
+        coords_i = np.asarray(anch.coords)[lane_anchor]
+        rfin = np.asarray(ori.rfinal).reshape(-1, 3, 3)[order]
+        lane_ok = flat_valid[order]
+        descs, ok = describe_anchors(
+            octv.grad, jnp.asarray(coords_i, dtype=jnp.int32),
+            jnp.asarray(rfin), jnp.asarray(lane_ok), octv.real_shape,
+            upsampled, cfg.describe)
+        descs = np.asarray(descs)
+        ok = np.asarray(ok) & lane_ok
+        keep = np.nonzero(ok)[0]
+        subvox = np.asarray(anch.subvox)[lane_anchor[keep]]
+        mains = np.asarray(ori.main_bin)[lane_anchor[keep], lane_main[keep]]
+        secs = np.asarray(ori.sec_bin)[
+            lane_anchor[keep], lane_main[keep], lane_sec[keep]]
+        rows.append(dict(
+            desc=descs[keep],
+            coords=coords_i[keep].astype(np.float32),
+            map_coords=coords_i[keep] * octv.voxsp + ss.origin,
+            subv_coords=subvox.astype(np.float64) * octv.voxsp + ss.origin,
+            rfinal=rfin[keep].astype(np.float32),
+            octave=np.full(len(keep), oi, dtype=np.int32),
+            anchor_id=(anchor_base + lane_anchor[keep]).astype(np.int32),
+            main_bin=mains.astype(np.int32),
+            sec_bin=secs.astype(np.int32),
+        ))
+        anchor_base += K
+
+    if not rows:
+        z = np.zeros
+        d = cfg.describe.subregions * cfg.describe.subeqsp_size
+        return DescriptorSet(
+            desc=z((0, d), np.int16), desc_norm=z((0, d), np.float32),
+            coords=z((0, 3), np.float32), map_coords=z((0, 3)),
+            subv_coords=z((0, 3)), rfinal=z((0, 3, 3), np.float32),
+            octave=z(0, np.int32), anchor_id=z(0, np.int32),
+            main_bin=z(0, np.int32), sec_bin=z(0, np.int32),
+            eqsp_size=cfg.orient.eqsp_size,
+            subeqsp_size=cfg.describe.subeqsp_size, name=name or grid.name)
+
+    cat = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
+    desc = cat.pop("desc")
+    norm = desc.astype(np.float32)
+    lens = np.linalg.norm(norm, axis=1, keepdims=True)
+    norm = np.where(lens > 0, norm / np.where(lens > 0, lens, 1.0), norm)
+    return DescriptorSet(
+        desc=desc.astype(np.int16), desc_norm=norm,
+        eqsp_size=cfg.orient.eqsp_size,
+        subeqsp_size=cfg.describe.subeqsp_size,
+        name=name or grid.name, **cat)
+
+
+def describe_structure(struct: Structure, resolution: float, voxsp: float,
+                       cfg: MadConfig, isovalue: float = 0.0, name: str = ""
+                       ) -> DescriptorSet:
+    """PDB path of the describe pipeline: simulate density first
+    (parity: MapSpace PDB_mode, mad/MapSpace.py:73-75)."""
+    grid = simulate_density(struct, resolution, voxsp, isovalue=isovalue,
+                            shape_bucket=cfg.shape_bucket)
+    return describe_grid(grid, cfg, name=name or struct.source)

@@ -1,0 +1,138 @@
+"""Rigid-body gradient-ascent refinement, vmapped over pose candidates.
+
+Replaces structure_utils.refine_pdb (mad/structure_utils.py:58-161): 500
+alternating translation/rotation steps driven by the map's density gradient,
+with per-batch step-size halving and convergence when the step drops below
+``min_step``. The reference refines one candidate at a time in a Python
+loop with per-step scipy interpolation; here all candidates advance together
+under one ``lax.scan`` with batched trilinear gathers.
+
+Semantics preserved per step:
+  * coords are rebuilt from the candidate's start pose as
+    (Y0 - center) @ rot + center + trans (center = initial centroid);
+  * translation steps move along the normalized sum of atom gradients
+    by step_size; rotation steps rotate about the normalized total torque
+    sum(cross(grad, coords - center)) by step_size / max_dist_from_center
+    (torque arm centered on the initial centroid, a reference quirk,
+    mad/structure_utils.py:121-122);
+  * atoms outside the (strict) map interior contribute nothing;
+  * every 4 steps, if the max atom displacement since the last checkpoint is
+    below step_size, step_size halves; convergence at step_size < min_step.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.config import RefineConfig, bucket
+from ..core.geometry import axis_angle_mat, unit
+from ..core.grid import DensityGrid
+from ..ops.interp import trilinear
+
+
+@dataclass
+class RefineResult:
+    rot: np.ndarray           # (C, 3, 3) total rotation (about the centroid)
+    trans: np.ndarray         # (C, 3) total translation
+    coords: np.ndarray        # (C, N, 3) refined atom coordinates
+    converged: np.ndarray     # (C,) bool
+    steps: np.ndarray         # (C,) int32 active steps until convergence
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
+                     n_steps: int, max_step: float, min_step: float,
+                     batch_size: int):
+    def refine(grad_field, y0, atom_valid, origin, voxsp):
+        """y0: (C, N, 3) start coords; atom_valid: (N,) padding mask."""
+        av = atom_valid.astype(y0.dtype)
+        n_atoms = jnp.maximum(jnp.sum(av), 1.0)
+        center = (jnp.sum(y0 * av[None, :, None], axis=1, keepdims=True)
+                  / n_atoms)                                    # (C, 1, 3)
+        max_dist = jnp.max(
+            jnp.linalg.norm(y0 - center, axis=-1) * av[None, :], axis=1)
+        hi_bound = origin + (jnp.asarray(shape) - 1) * voxsp
+
+        def body(state, step):
+            trans, rot, step_size, prev, frozen = state
+            coords = (y0 - center) @ rot + center + trans[:, None]
+            inb = jnp.all((coords > origin) & (coords < hi_bound), axis=-1)
+            w = (inb & atom_valid[None]).astype(coords.dtype)
+            vox = (coords - origin) / voxsp
+            g = trilinear(grad_field, vox) * w[..., None]       # (C, N, 3)
+
+            is_trans = (step % 2) == 0
+            # Translation move (mad/structure_utils.py:109-116).
+            dtrans = unit(jnp.sum(g, axis=1)) * step_size[:, None]
+            # Rotation move (mad/structure_utils.py:119-138).
+            torque = unit(jnp.sum(jnp.cross(g, coords - center), axis=1))
+            angle = step_size / jnp.maximum(max_dist, 1e-6)
+            rstep = axis_angle_mat(torque, angle)
+
+            upd = ~frozen
+            new_trans = jnp.where((upd & is_trans)[:, None],
+                                  trans + dtrans, trans)
+            new_rot = jnp.where((upd & ~is_trans)[:, None, None],
+                                rot @ rstep, rot)
+            new_coords = (y0 - center) @ new_rot + center + new_trans[:, None]
+
+            at_batch = (step + 1) % batch_size == 0
+            disp = jnp.max(
+                jnp.linalg.norm(prev - new_coords, axis=-1) * av[None],
+                axis=1)
+            shrink = at_batch & (disp < step_size) & upd
+            new_step = jnp.where(shrink, step_size * 0.5, step_size)
+            take_prev = at_batch & upd
+            new_prev = jnp.where(take_prev[:, None, None], new_coords, prev)
+            new_frozen = frozen | (new_step < min_step)
+            return (new_trans, new_rot, new_step, new_prev, new_frozen), \
+                jnp.where(frozen, 0, 1)
+
+        init = (jnp.zeros((c, 3), y0.dtype),
+                jnp.broadcast_to(jnp.eye(3, dtype=y0.dtype), (c, 3, 3)),
+                jnp.full((c,), max_step, y0.dtype), y0,
+                jnp.zeros((c,), dtype=bool))
+        (trans, rot, _, _, frozen), counts = lax.scan(
+            body, init, jnp.arange(n_steps))
+        coords = (y0 - center) @ rot + center + trans[:, None]
+        return rot, trans, coords, frozen, jnp.sum(counts, axis=0)
+
+    return jax.jit(refine)
+
+
+def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
+                      cfg: RefineConfig) -> RefineResult:
+    """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms."""
+    c_real, n_real = start_coords.shape[:2]
+    c = bucket(max(c_real, 4), 4)
+    n = bucket(n_real, 256)
+    y0 = np.zeros((c, n, 3), dtype=np.float32)
+    y0[:c_real, :n_real] = start_coords
+    y0[:c_real, n_real:] = start_coords[:, :1]  # padded atoms masked out
+    if c != c_real:
+        y0[c_real:] = y0[0]
+    atom_valid = np.zeros(n, dtype=bool)
+    atom_valid[:n_real] = True
+    gx, gy, gz = np.gradient(dmap.data)
+    grad_field = jnp.asarray(np.stack([gx, gy, gz], axis=-1),
+                             dtype=jnp.float32)
+    fn = _compiled_refine(tuple(dmap.shape), c, n, cfg.n_steps,
+                          float(cfg.max_step), float(cfg.min_step),
+                          cfg.batch_size)
+    rot, trans, coords, frozen, steps = fn(
+        grad_field, jnp.asarray(y0), jnp.asarray(atom_valid),
+        jnp.asarray(dmap.origin, dtype=jnp.float32),
+        np.float32(dmap.voxsp))
+    return RefineResult(
+        rot=np.asarray(rot)[:c_real],
+        trans=np.asarray(trans)[:c_real],
+        coords=np.asarray(coords)[:c_real, :n_real].astype(np.float64),
+        converged=np.asarray(frozen)[:c_real],
+        steps=np.asarray(steps)[:c_real])

@@ -1,0 +1,37 @@
+"""Gather-based interpolation of 3D (vector) fields."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def trilinear(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear interpolation of field (X, Y, Z, C) at voxel-space points
+    (..., 3). Out-of-range points are clamped; callers mask them.
+
+    Matches scipy RegularGridInterpolator(method='linear') inside bounds
+    (used by the rigid refiner, mad/structure_utils.py:76-80).
+    """
+    shp = jnp.asarray(field.shape[:3])
+    p = jnp.clip(pts, 0.0, (shp - 1).astype(pts.dtype))
+    p0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, shp - 2)
+    f = p - p0.astype(p.dtype)
+    w0, w1 = 1.0 - f, f
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                w = ((w1[..., 0] if dx else w0[..., 0])
+                     * (w1[..., 1] if dy else w0[..., 1])
+                     * (w1[..., 2] if dz else w0[..., 2]))
+                v = field[p0[..., 0] + dx, p0[..., 1] + dy, p0[..., 2] + dz]
+                out = out + w[..., None] * v
+    return out
+
+
+def nearest(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor gather with .5 ties to the lower index (scipy RGI
+    'nearest' parity, used for descriptor sampling)."""
+    shp = jnp.asarray(field.shape[:3])
+    ids = jnp.clip(jnp.ceil(pts - 0.5).astype(jnp.int32), 0, shp - 1)
+    return field[ids[..., 0], ids[..., 1], ids[..., 2]]
