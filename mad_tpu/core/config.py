@@ -11,6 +11,14 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
+
+# The pipeline's numerics assume float32 accumulation: LoG peak thresholds,
+# subvoxel Newton solves and pose rotations all sit well below bf16
+# resolution. Individual hot matmuls (descriptor similarity) opt back into
+# reduced precision explicitly where profiling justifies it.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 
 @dataclasses.dataclass(frozen=True)
 class ScaleSpaceConfig:

@@ -70,6 +70,23 @@ class DensityGrid:
         g = replace(self, data=data, origin=self.origin + lo * self.voxsp)
         return g.padded(zeros_padding)
 
+    def mask_with(self, mask: "DensityGrid", eps: float = 1e-8
+                  ) -> "DensityGrid":
+        """Zero every voxel that is zero (or outside) in the mask grid
+        (parity: Dmap.mask_with, mad/Dmap.py:99-151)."""
+        if not np.isclose(self.voxsp, mask.voxsp):
+            raise ValueError(
+                f"voxel spacings do not match: {self.voxsp} vs {mask.voxsp}")
+        out = np.zeros_like(self.data)
+        box = self.overlap_box_with(mask)
+        if box is not None:
+            lo1, hi1, lo2, hi2 = box
+            common = mask.data[lo2[0]:hi2[0], lo2[1]:hi2[1], lo2[2]:hi2[2]]
+            region = self.data[lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]]
+            out[lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]] = np.where(
+                common < eps, 0.0, region)
+        return replace(self, data=out)
+
     # -- scoring ----------------------------------------------------------
 
     def overlap_box_with(self, other: "DensityGrid"):
@@ -128,6 +145,37 @@ def ccc_grids(grid1, origin1, grid2, origin2, voxsp, isovalue: float = 0.0):
     if denom == 0:
         return 0.0
     return olap / denom
+
+
+def ccc_maps_scaled(m1: "DensityGrid", m2: "DensityGrid",
+                    isovalue: float = 0.0) -> float:
+    """Common-voxel-scaled CCC between two maps
+    (parity: Dmap.get_CCC_with_dmap, mad/Dmap.py:260-372): each map is
+    normalized over the voxels where the *other* map is nonzero, the dot
+    product is then scaled by the fraction of the smaller map's nonzero
+    voxels that are shared."""
+    if m1.voxsp != m2.voxsp:
+        raise ValueError(f"voxsp differ ({m1.voxsp} vs {m2.voxsp})")
+    box = m1.overlap_box_with(m2)
+    if box is None:
+        return 0.0
+    lo1, hi1, lo2, hi2 = box
+    a = m1.data[lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]].astype(
+        np.float64).copy()
+    b = m2.data[lo2[0]:hi2[0], lo2[1]:hi2[1], lo2[2]:hi2[2]].astype(
+        np.float64).copy()
+    nonzero = min(np.count_nonzero(m1.data > isovalue),
+                  np.count_nonzero(m2.data > isovalue))
+    common = int(np.count_nonzero(b[(b > isovalue) & (a > isovalue)]))
+    if not common or not nonzero:
+        return 0.0
+    na = np.linalg.norm(a[b > 0])
+    nb = np.linalg.norm(b[a > 0])
+    if na == 0 or nb == 0:
+        return 0.0
+    a /= na
+    b /= nb
+    return float(np.vdot(a, b)) * common / nonzero
 
 
 def overlap_fraction(grid1, origin1, grid2, origin2, voxsp,

@@ -75,7 +75,7 @@ def filter_pairs(table: MatchTable, hi_bins: np.ndarray, lo_bins: np.ndarray,
             Cb = np.asarray(cluster_b)
             D = CA - A[i]
             d = Cb - b[i]
-            r2 = (np.einsum("cij,jk,cik->c", D, M, D)
+            r2 = (np.einsum("cij,ik,ckj->c", D, M, D)
                   + 2.0 * np.einsum("j,cjk,ck->c", mu, D, d)
                   + np.einsum("ck,ck->c", d, d))
             j = int(np.argmin(r2))

@@ -81,5 +81,5 @@ def test_closed_form_cloud_rmsd_matches_direct():
     A1, b1 = R1.T, l1 - h1 @ R1.T
     A2, b2 = R2.T, l2 - h2 @ R2.T
     D, d = A1 - A2, b1 - b2
-    r2 = np.einsum("ij,jk,ik->", D, M, D) + 2 * mu @ D @ d + d @ d
+    r2 = np.einsum("ij,ik,kj->", D, M, D) + 2 * mu @ D @ d + d @ d
     assert abs(np.sqrt(r2) - direct) < 1e-8
