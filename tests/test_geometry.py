@@ -18,11 +18,12 @@ def test_axis_angle_orthonormal():
 
 
 def test_axis_angle_matches_reference_formula():
-    # Reference convention (mad/math_utils.py:15): R rotates v by -angle in
-    # the standard sense; verify the known 90-degree case about z.
+    # Reference convention (mad/math_utils.py:15-27): the negated-sin
+    # quaternion combined with the row layout makes R @ v the standard
+    # right-handed rotation: +90 deg about z sends x to +y.
     R = np.asarray(axis_angle_mat(jnp.array([0.0, 0, 1]), jnp.array(np.pi / 2)))
     v = np.array([1.0, 0, 0])
-    np.testing.assert_allclose(R @ v, [0, -1, 0], atol=1e-6)
+    np.testing.assert_allclose(R @ v, [0, 1, 0], atol=1e-6)
 
 
 def test_rotation_to_pole():

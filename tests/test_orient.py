@@ -8,14 +8,15 @@ from mad_tpu.ops.orient import orient_anchors, _sphere_mask
 from mad_tpu.ops.describe import describe_anchors, region_ids
 
 
-def _field_from_dirs(shape, dir_fn):
-    """Gradient field where direction at (x,y,z) = dir_fn(x,y,z)."""
-    g = np.zeros(shape + (3,), dtype=np.float32)
-    for x in range(shape[0]):
-        for y in range(shape[1]):
-            for z in range(shape[2]):
-                g[x, y, z] = dir_fn(x, y, z)
-    return g
+def _field_two_dirs(shape, d_a, d_b):
+    """Field = d_a where (x+y+z) % 3 != 0 else d_b (vectorized)."""
+    x, y, z = np.meshgrid(*[np.arange(s) for s in shape], indexing="ij")
+    sel = ((x + y + z) % 3 != 0)[..., None]
+    return np.where(sel, d_a, d_b).astype(np.float32)
+
+
+def _field_const(shape, d):
+    return np.broadcast_to(np.asarray(d, np.float32), shape + (3,)).copy()
 
 
 def _anchors(coords, cap=128):
@@ -35,11 +36,7 @@ def test_two_direction_patch_orients_main_to_pole():
     d_sec = np.cross(d_main, [0, 0, 1.0])
     d_sec /= np.linalg.norm(d_sec)
     shape = (40, 40, 40)
-
-    def dir_fn(x, y, z):
-        return d_main if (x + y + z) % 3 else d_sec  # ~2/3 main, 1/3 sec
-
-    grad = _field_from_dirs(shape, dir_fn)
+    grad = _field_two_dirs(shape, d_main, d_sec)  # ~2/3 main, 1/3 sec
     anch = _anchors([[20, 20, 20]])
     cfg = OrientConfig()
     ori = orient_anchors(jnp.asarray(grad), anch, shape, upsampled=False,
@@ -57,11 +54,15 @@ def test_two_direction_patch_orients_main_to_pole():
 
 
 def test_uniform_field_yields_degenerate_anchor():
-    # All-gradients-identical: after the pole rotation, every count is at the
-    # pole, so no secondary orientation exists -> anchor dropped
-    # (parity: mad/Orientator.py:228-231).
+    # All gradients exactly at a zone center: the pole rotation sends every
+    # direction to the pole itself, so no secondary orientation exists ->
+    # anchor dropped (parity: mad/Orientator.py:228-231). A generic uniform
+    # direction would land *off*-pole (rotation targets the zone center) and
+    # legitimately produce secondary candidates.
+    eqsp = get_eqsp(112)
+    d = eqsp.c_centers[30].astype(np.float32)
     shape = (40, 40, 40)
-    grad = _field_from_dirs(shape, lambda x, y, z: np.array([0.6, 0.8, 0.0]))
+    grad = _field_const(shape, d)
     anch = _anchors([[20, 20, 20]])
     ori = orient_anchors(jnp.asarray(grad), anch, shape, upsampled=False,
                          cfg=OrientConfig(), chunk=128)

@@ -82,7 +82,7 @@ def test_simulate_parity(refmod, tiny_pdb):
     np.testing.assert_allclose(mine.origin, [xi, yi, zi], atol=1e-6)
     sx, sy, sz = ref_grid.shape
     np.testing.assert_allclose(mine.data[:sx, :sy, :sz], ref_grid, atol=2e-4)
-    assert abs(mine.data[:sx, :sy, :sz] - ref_grid).mean() < 1e-6
+    assert abs(mine.data[:sx, :sy, :sz] - ref_grid).mean() < 1e-5
 
 
 def test_anchor_parity_from_sit(refmod, tiny_pdb, tmp_path):
