@@ -34,24 +34,31 @@ def run_fit(sub, copies, dmap, resolution, cfg):
     from mad_tpu.engine.pipeline import describe_grid, describe_structure
     from mad_tpu.engine.docking import dock_structure
     from mad_tpu.engine import assemble as asm
+    from mad_tpu.utils.profiling import stage
 
     n_copies = len(copies)
-    map_set = describe_grid(dmap, cfg, name="bench_map")
+    with stage("bench.describe_map"):
+        map_set = describe_grid(dmap, cfg, name="bench_map")
     # Decoy transform (self-fit protocol, reference run_MaD.py path)
     moved = sub.with_coords(sub.coords - sub.center() + [150.0, 0.0, 0.0])
-    sub_set = describe_structure(moved, resolution, dmap.voxsp, cfg,
-                                 name="bench_sub")
-    sols = dock_structure(map_set, sub_set, moved, dmap, resolution, cfg,
-                          n_copies=n_copies, verbose=False)
+    with stage("bench.describe_sub"):
+        sub_set = describe_structure(moved, resolution, dmap.voxsp, cfg,
+                                     name="bench_sub")
+    with stage("bench.dock"):
+        sols = dock_structure(map_set, sub_set, moved, dmap, resolution, cfg,
+                              n_copies=n_copies, verbose=False)
     n_models = 0
     if len(sols) >= 2:
         structures = [s.structure for s in sols]
-        grids = asm.solution_grids(structures, cfg.assembly)
-        overlap = asm._overlap_matrix(grids, cfg.assembly)
-        tuples, sums, stds, maxs = asm.enumerate_homomultimer(
-            len(sols), min(n_copies, len(sols)), overlap)
-        models = asm.score_models(tuples, sums, stds, maxs, structures, dmap,
-                                  cfg.assembly, 10, 0.1)
+        with stage("bench.solution_grids"):
+            grids = asm.solution_grids(structures, cfg.assembly)
+        with stage("bench.overlap_matrix"):
+            overlap = asm._overlap_matrix(grids, cfg.assembly)
+            tuples, sums, stds, maxs = asm.enumerate_homomultimer(
+                len(sols), min(n_copies, len(sols)), overlap)
+        with stage("bench.score_models"):
+            models = asm.score_models(tuples, sums, stds, maxs, structures,
+                                      dmap, cfg.assembly, 10, 0.1)
         n_models = len(models)
     return sols, n_models
 
@@ -83,9 +90,15 @@ def main():
                      f"{n_models} models\n")
 
     # Timed steady-state pass.
+    import contextlib
+    from mad_tpu.utils import profiling
+    with contextlib.redirect_stdout(sys.stderr):
+        profiling.show_timing(reset=True)
     t0 = time.time()
     sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
     elapsed = time.time() - t0
+    with contextlib.redirect_stdout(sys.stderr):
+        profiling.show_timing()
     rmsds = accuracy(sols, copies)
     found = int(np.sum(np.asarray(rmsds) < 10.0))
     sys.stderr.write(

@@ -11,6 +11,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import os as _os
+
 import jax
 
 # The pipeline's numerics assume float32 accumulation: LoG peak thresholds,
@@ -18,6 +20,18 @@ import jax
 # resolution. Individual hot matmuls (descriptor similarity) opt back into
 # reduced precision explicitly where profiling justifies it.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compilation cache: the pipeline compiles one program per
+# (bucketed) grid shape; caching them across processes turns repeat runs
+# from minutes of XLA compilation into milliseconds of cache hits.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("MAD_TPU_CACHE",
+                        _os.path.expanduser("~/.cache/mad_tpu_xla")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover - older jax without the option
+    pass
 
 
 @dataclasses.dataclass(frozen=True)

@@ -217,11 +217,20 @@ def read_map(path: str, isovalue: float = 0.0, normalize: bool = True
 
 
 def _read_sit(path: str, name: str) -> DensityGrid:
-    with open(path, "r") as fh:
-        header = fh.readline().replace("\n", "").replace("  ", "").split(" ")
+    with open(path, "rb") as fh:
+        header = fh.readline().decode().split()
         fh.readline()
-        grid1d = np.fromstring(fh.read(), sep="    ") if hasattr(np, "fromstring") \
-            else np.fromiter(fh.read().split(), dtype=np.float64)
+        body = fh.read()
+    try:
+        from ..native import get_fastio
+        native = get_fastio()
+    except Exception:
+        native = None
+    if native is not None:
+        grid1d = np.frombuffer(native.parse_floats(body), dtype=np.float64)
+    else:
+        grid1d = np.fromiter((float(t) for t in body.split()),
+                             dtype=np.float64)
     voxsp, xi, yi, zi = [float(x) for x in header[:4]]
     xb, yb, zb = [int(x) for x in header[4:7]]
     data = np.reshape(grid1d.astype(np.float32), (xb, yb, zb), order="F")

@@ -21,6 +21,7 @@ from .pipeline import DescriptorSet
 from .match import match_descriptors, MatchTable
 from .cluster import filter_pairs, Candidate
 from .refine import refine_candidates
+from ..utils.profiling import stage
 
 
 @dataclass
@@ -43,8 +44,9 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     """Dock one subunit into the map; returns scored unique solutions."""
     n_samples = cfg.filter.n_samples * n_copies
 
-    table = match_descriptors(
-        map_set, sub_set, dmap.shape, dmap.origin, dmap.voxsp, cfg.match)
+    with stage("match"):
+        table = match_descriptors(
+            map_set, sub_set, dmap.shape, dmap.origin, dmap.voxsp, cfg.match)
     if verbose:
         print(f"MaD> {table.n} descriptor pairs above "
               f"cc={cfg.match.cc_threshold:.2f}")
@@ -53,7 +55,9 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
 
     hi_bins = sub_set.main_bin[table.hi_idx]
     lo_bins = map_set.main_bin[table.lo_idx]
-    candidates = filter_pairs(table, hi_bins, lo_bins, cfg.filter, n_samples)
+    with stage("cluster"):
+        candidates = filter_pairs(table, hi_bins, lo_bins, cfg.filter,
+                                  n_samples)
     if verbose:
         print(f"MaD> {len(candidates)} filtered pose candidates")
     if not candidates:
@@ -64,7 +68,8 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     starts = np.stack([
         (x0 - c.hi_coord) @ c.rot.T + c.lo_coord for c in candidates
     ]).astype(np.float32)
-    res = refine_candidates(dmap, starts, cfg.refine)
+    with stage("refine"):
+        res = refine_candidates(dmap, starts, cfg.refine)
 
     # Re-scored repeatability after refinement (mad/MaD.py:580-590).
     lo_tree = cKDTree(table.lo_cloud)
@@ -96,11 +101,12 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
                 solutions[j].members.extend(members)
                 merged = True
         if not merged:
-            sub_grid = simulate_density(
-                struct, resolution, dmap.voxsp,
-                shape_bucket=cfg.shape_bucket)
-            ccc = ccc_grids(dmap.data, dmap.origin, sub_grid.data,
-                            sub_grid.origin, dmap.voxsp)
+            with stage("solution_ccc"):
+                sub_grid = simulate_density(
+                    struct, resolution, dmap.voxsp,
+                    shape_bucket=cfg.shape_bucket)
+                ccc = ccc_grids(dmap.data, dmap.origin, sub_grid.data,
+                                sub_grid.origin, dmap.voxsp)
             solutions.append(Solution(
                 structure=struct, corresp_anchors=corresp, repeat=repeat,
                 weight=weight, ccc=float(ccc), members=list(members)))

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.config import MatchConfig, bucket
+from ..utils.profiling import stage
 from .pipeline import DescriptorSet
 
 
@@ -78,11 +79,13 @@ def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
         occ = jnp.zeros(shape, dtype=jnp.float32)
         occ = occ.at[pos_vox[:, 0], pos_vox[:, 1], pos_vox[:, 2]].max(
             jnp.where(valid, 1.0, 0.0), mode="drop")
+        # Binary occupancy: reduced precision is exact enough for > 0.5.
         out = lax.conv_general_dilated(
             occ[None, None], kern, (1, 1, 1),
             padding=[(r, r), (r, r), (r, r)],
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
-        return (out[0, 0] > 0).astype(jnp.int8)
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            precision=lax.Precision.DEFAULT)
+        return (out[0, 0] > 0.5).astype(jnp.int8)
 
     return jax.jit(build)
 
@@ -161,8 +164,9 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     lo = _pad_rows(map_set.desc_norm, dl)
     sim_fn = _compiled_similarity(dh, dl, 64, cfg.max_pairs,
                                   float(cfg.cc_threshold))
-    ccs, rows, cols, ok = sim_fn(jnp.asarray(hi), jnp.asarray(lo))
-    ccs = np.asarray(ccs)
+    with stage("match.similarity"):
+        ccs, rows, cols, ok = sim_fn(jnp.asarray(hi), jnp.asarray(lo))
+        ccs = np.asarray(ccs)
     rows = np.asarray(rows)
     cols = np.asarray(cols)
     ok = np.asarray(ok) & (rows < sub_set.n) & (cols < map_set.n)
@@ -206,10 +210,13 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     lo_vox = np.clip(np.round(
         (lo_cloud_p - np.asarray(grid_origin, dtype=np.float32)) / voxsp
     ).astype(np.int32), 0, np.asarray(grid_shape) - 1)
-    field = field_fn(jnp.asarray(lo_vox), jnp.asarray(lo_valid))
+    with stage("match.field"):
+        field = field_fn(jnp.asarray(lo_vox), jnp.asarray(lo_valid))
+        field.block_until_ready()
 
     approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256)
-    rep = np.asarray(approx_fn(
+    with stage("match.repeat_approx"):
+     rep = np.asarray(approx_fn(
         field, jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
         jnp.asarray(np.asarray(grid_origin, dtype=np.float32)),
         np.float32(1.0 / voxsp), jnp.asarray(rot_p), jnp.asarray(hc_p),
@@ -225,7 +232,8 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
         el = _pad_rows(lo_coord[top].astype(np.float32), bucket(len(top), 64))
         exact_fn = _compiled_exact_repeat(a_hi, a_lo, er.shape[0], 16,
                                           float(cfg.anchor_dist))
-        erep = np.asarray(exact_fn(
+        with stage("match.repeat_exact"):
+         erep = np.asarray(exact_fn(
             jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
             jnp.asarray(lo_cloud_p), jnp.asarray(lo_valid),
             jnp.asarray(er), jnp.asarray(eh), jnp.asarray(el)))[: len(top)]

@@ -22,6 +22,7 @@ from ..ops.scalespace import build_scale_space
 from ..ops.detect import detect_anchors
 from ..ops.orient import orient_anchors
 from ..ops.describe import describe_anchors
+from ..utils.profiling import stage
 
 
 @dataclass
@@ -62,16 +63,22 @@ class DescriptorSet:
 def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
                   ) -> DescriptorSet:
     """Run the full anchor/orientation/descriptor chain on a density grid."""
-    ss = build_scale_space(grid, cfg.scalespace, cfg.shape_bucket)
+    with stage("scalespace"):
+        ss = build_scale_space(grid, cfg.scalespace, cfg.shape_bucket)
+        for o in ss.octaves:
+            o.log.block_until_ready()
     rows = []
     anchor_base = 0
     for oi, octv in enumerate(ss.octaves):
         upsampled = octv.voxsp < grid.voxsp
-        anch = detect_anchors(octv.log, octv.real_shape, cfg.detect)
-        ori = orient_anchors(octv.grad, anch, octv.real_shape, upsampled,
-                             cfg.orient)
+        with stage("detect"):
+            anch = detect_anchors(octv.log, octv.real_shape, cfg.detect)
+            anch.valid.block_until_ready()
+        with stage("orient"):
+            ori = orient_anchors(octv.grad, anch, octv.real_shape, upsampled,
+                                 cfg.orient)
+            flat_valid = np.asarray(ori.valid).reshape(-1)
         K, M, S = ori.valid.shape
-        flat_valid = np.asarray(ori.valid).reshape(-1)
         n_valid = int(flat_valid.sum())
         if n_valid == 0:
             anchor_base += K
@@ -86,11 +93,12 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
         coords_i = np.asarray(anch.coords)[lane_anchor]
         rfin = np.asarray(ori.rfinal).reshape(-1, 3, 3)[order]
         lane_ok = flat_valid[order]
-        descs, ok = describe_anchors(
-            octv.grad, jnp.asarray(coords_i, dtype=jnp.int32),
-            jnp.asarray(rfin), jnp.asarray(lane_ok), octv.real_shape,
-            upsampled, cfg.describe)
-        descs = np.asarray(descs)
+        with stage("describe"):
+            descs, ok = describe_anchors(
+                octv.grad, jnp.asarray(coords_i, dtype=jnp.int32),
+                jnp.asarray(rfin), jnp.asarray(lane_ok), octv.real_shape,
+                upsampled, cfg.describe)
+            descs = np.asarray(descs)
         ok = np.asarray(ok) & lane_ok
         keep = np.nonzero(ok)[0]
         subvox = np.asarray(anch.subvox)[lane_anchor[keep]]

@@ -95,14 +95,29 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
             return (new_trans, new_rot, new_step, new_prev, new_frozen), \
                 jnp.where(frozen, 0, 1)
 
-        init = (jnp.zeros((c, 3), y0.dtype),
-                jnp.broadcast_to(jnp.eye(3, dtype=y0.dtype), (c, 3, 3)),
-                jnp.full((c,), max_step, y0.dtype), y0,
-                jnp.zeros((c,), dtype=bool))
-        (trans, rot, _, _, frozen), counts = lax.scan(
-            body, init, jnp.arange(n_steps))
+        # while_loop instead of a fixed scan: once every candidate's step
+        # size has decayed below min_step the loop exits (the reference
+        # breaks per candidate at mad/structure_utils.py:150-152; batching
+        # makes the exit collective).
+        def cond(carry):
+            step, state, _ = carry
+            frozen = state[4]
+            return (step < n_steps) & jnp.any(~frozen)
+
+        def loop(carry):
+            step, state, counts = carry
+            new_state, took = body(state, step)
+            return step + 1, new_state, counts + took
+
+        init_state = (jnp.zeros((c, 3), y0.dtype),
+                      jnp.broadcast_to(jnp.eye(3, dtype=y0.dtype), (c, 3, 3)),
+                      jnp.full((c,), max_step, y0.dtype), y0,
+                      jnp.zeros((c,), dtype=bool))
+        _, (trans, rot, _, _, frozen), counts = lax.while_loop(
+            cond, loop, (jnp.int32(0), init_state,
+                         jnp.zeros((c,), jnp.int32)))
         coords = (y0 - center) @ rot + center + trans[:, None]
-        return rot, trans, coords, frozen, jnp.sum(counts, axis=0)
+        return rot, trans, coords, frozen, counts
 
     return jax.jit(refine)
 

@@ -64,3 +64,43 @@ def test_full_session(system):
     total = sum(c.n_atoms for c in copies)
     assert m1.n_atoms == total
     assert os.path.exists(os.path.join(out, "complex_ranking.csv"))
+
+
+def test_descriptor_cache_roundtrip(system):
+    # Cached descriptors short-cut the pipeline and load identically.
+    root, map_path, sub_path, copies = system
+    from mad_tpu import cache as dsc_cache
+    db = os.path.join(str(root), "dsc_db")
+    files = [f for f in os.listdir(db) if f.endswith(".h5")]
+    assert files
+    ds = dsc_cache.load_descriptors(os.path.join(db, files[0]))
+    assert ds.n > 0
+    assert ds.desc.shape[1] == 1024
+    np.testing.assert_allclose(np.linalg.norm(ds.desc_norm, axis=1), 1.0,
+                               atol=1e-5)
+
+
+def test_ensemble_scoring(system):
+    # Two-frame ensemble of the same subunit: both frames dock, the ensemble
+    # ranking aggregates their CSVs (parity mad/MaD.py:225-286).
+    root, map_path, sub_path, copies = system
+    ens_dir = os.path.join(str(root), "ensemble")
+    os.makedirs(ens_dir, exist_ok=True)
+    sub = parse_pdb(sub_path)
+    write_pdb(sub, os.path.join(ens_dir, "frame_a.pdb"))
+    jittered = sub.with_coords(
+        sub.coords + np.random.default_rng(0).normal(scale=0.3,
+                                                     size=sub.coords.shape))
+    write_pdb(jittered, os.path.join(ens_dir, "frame_b.pdb"))
+
+    mad = MaD(workdir=str(root))
+    mad.add_map(map_path, resolution=8.0)
+    mad.add_subunit(ens_dir, n_copies=2)
+    mad.run(transform_subunits=True)
+    rankings = mad.score_ensembles()
+    assert "ensemble" in rankings
+    assert len(rankings["ensemble"]) == 2
+    for row in rankings["ensemble"]:
+        assert row[3] > 0.5          # mean mCC of a correct dock is high
+    assert os.path.exists(os.path.join(mad.out_folder,
+                                       "Plot_score_ensemble.png"))

@@ -1,0 +1,66 @@
+import numpy as np
+import pytest
+
+from mad_tpu.core.config import AssemblyConfig
+from mad_tpu.engine import assemble as asm
+from mad_tpu.ops.simulate import simulate_density
+from mad_tpu.testing import make_assembly
+
+
+@pytest.fixture(scope="module")
+def solutions():
+    # 4 non-overlapping placements + 1 duplicate of placement 0
+    sub, copies = make_assembly(n_copies=4, n_res=30, seed=5, spread=30.0)
+    dup = copies[0].with_coords(copies[0].coords + 1.0)
+    return copies + [dup]
+
+
+@pytest.fixture(scope="module")
+def overlap(solutions):
+    cfg = AssemblyConfig()
+    grids = asm.solution_grids(solutions, cfg)
+    return asm._overlap_matrix(grids, cfg)
+
+
+def test_overlap_matrix_structure(solutions, overlap):
+    n = len(solutions)
+    assert overlap.shape == (n, n)
+    assert np.all(np.tril(overlap) == 0)        # upper-triangular fill
+    # duplicate overlaps its source heavily, distinct copies do not
+    assert overlap[0, 4] > 0.5
+    assert overlap[0, 1] < 0.1
+
+
+def test_homomultimer_enumeration(solutions, overlap):
+    tuples, sums, stds, maxs = asm.enumerate_homomultimer(5, 4, overlap)
+    assert tuples.shape == (5, 4)
+    # Best candidate (sorted by max overlap) is the clash-free quartet 0-3
+    np.testing.assert_array_equal(tuples[0], [0, 1, 2, 3])
+    assert maxs[0] < 0.1
+    # Any tuple containing both 0 and its duplicate 4 ranks worse
+    bad = [i for i, t in enumerate(tuples) if 0 in t and 4 in t]
+    assert min(bad) > 0
+
+
+def test_heteromer_enumeration(solutions, overlap):
+    groups = {"A": [0, 4], "B": [1], "C": [2]}
+    tuples, sums, stds, maxs = asm.enumerate_heteromer(groups, overlap)
+    assert tuples.shape == (2, 3)
+    # Picking solution 0 for A beats picking its clone 4 only via overlap sum
+    assert set(tuples[0]) == {0, 1, 2} or set(tuples[0]) == {4, 1, 2}
+    assert np.all(np.diff(sums) >= -1e-12)
+
+
+def test_score_models(solutions, overlap):
+    cfg = AssemblyConfig()
+    coords = np.concatenate([s.coords for s in solutions[:4]])
+    masses = np.concatenate([s.masses for s in solutions[:4]])
+    dmap = simulate_density(coords, 8.0, 2.0, masses=masses)
+    tuples, sums, stds, maxs = asm.enumerate_homomultimer(5, 4, overlap)
+    models = asm.score_models(tuples, sums, stds, maxs, solutions, dmap, cfg,
+                              max_models=3, max_overlap=0.1)
+    assert models
+    assert models[0].components == [0, 1, 2, 3]
+    # Models are CC-scored at 4 A against the (8 A) map by design
+    # (mad/MaD.py:737), so the correct assembly scores high but not ~1.
+    assert models[0].ccc > 0.8
