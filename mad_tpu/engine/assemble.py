@@ -38,20 +38,46 @@ class AssemblyModel:
     max_overlap: float
 
 
-def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig
-                    ) -> np.ndarray:
+def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig,
+                    isovalue: float = 1e-8) -> np.ndarray:
+    """Pairwise overlap fractions (upper triangular, parity
+    mad/MaD.py:663-668). Occupancy masks and nonzero counts are
+    precomputed once instead of per pair."""
+    from ..core.grid import overlap_boxes
     n = len(grids)
+    masks = [g.data >= isovalue for g in grids]
+    counts = [int(m.sum()) for m in masks]
     ov = np.zeros((n, n))
     for i, j in combinations(range(n), 2):
-        ov[i, j] = overlap_fraction(
-            grids[i].data, grids[i].origin, grids[j].data, grids[j].origin,
-            cfg.sim_voxsp)
+        if counts[i] == 0:
+            continue
+        box = overlap_boxes(grids[i].origin, masks[i].shape,
+                            grids[j].origin, masks[j].shape, cfg.sim_voxsp)
+        if box is None:
+            continue
+        lo1, hi1, lo2, hi2 = box
+        m1 = masks[i][lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]]
+        m2 = masks[j][lo2[0]:hi2[0], lo2[1]:hi2[1], lo2[2]:hi2[2]]
+        ov[i, j] = int(np.count_nonzero(m1 & m2)) / counts[i]
     return ov
 
 
 def solution_grids(structures: Sequence[Structure], cfg: AssemblyConfig
                    ) -> List[DensityGrid]:
-    """Low-res occupancy grids per solution (mad/MaD.py:659)."""
+    """Low-res occupancy grids per solution (mad/MaD.py:659). Same-sized
+    structures (the common case: copies of one subunit) simulate in one
+    vmapped program."""
+    from ..ops.simulate import batched_simulate
+    sizes = {s.n_atoms for s in structures}
+    if len(sizes) == 1 and len(structures) > 1:
+        coords = np.stack([s.coords for s in structures])
+        masses = np.stack([s.masses for s in structures])
+        dens, origins = batched_simulate(
+            coords, masses, cfg.sim_resolution, cfg.sim_voxsp,
+            isovalue=cfg.sim_isovalue)
+        dens = np.asarray(dens)
+        return [DensityGrid(data=dens[i], origin=origins[i],
+                            voxsp=cfg.sim_voxsp) for i in range(len(dens))]
     return [simulate_density(s, cfg.sim_resolution, cfg.sim_voxsp,
                              isovalue=cfg.sim_isovalue) for s in structures]
 
@@ -111,18 +137,38 @@ def score_models(tuples: np.ndarray, sums, stds, maxs,
                  structures: Sequence[Structure], dmap: DensityGrid,
                  cfg: AssemblyConfig, max_models: int, max_overlap: float
                  ) -> List[AssemblyModel]:
-    """CC-score the accepted models (mad/MaD.py:726-745)."""
-    out: List[AssemblyModel] = []
+    """CC-score the accepted models (mad/MaD.py:726-745).
+
+    All accepted model grids simulate and score in one vmapped program
+    (padding hetero models to the largest atom count with zero-mass atoms).
+    """
+    accepted = []
     for cnt, tup in enumerate(tuples):
         if cnt >= max_models or (maxs[cnt] > max_overlap and cnt):
             break
-        coords = np.concatenate([structures[i].coords for i in tup])
-        masses = np.concatenate([structures[i].masses for i in tup])
-        g = simulate_density(coords, cfg.cc_resolution, dmap.voxsp,
-                             masses=masses)
-        ccc = ccc_grids(dmap.data, dmap.origin, g.data, g.origin, dmap.voxsp)
+        accepted.append(cnt)
+    if not accepted:
+        return []
+
+    packs = []
+    for cnt in accepted:
+        coords = np.concatenate([structures[i].coords for i in tuples[cnt]])
+        masses = np.concatenate([structures[i].masses for i in tuples[cnt]])
+        packs.append((coords, masses))
+    n_max = max(c.shape[0] for c, _ in packs)
+    cb = np.zeros((len(packs), n_max, 3))
+    mb = np.zeros((len(packs), n_max), dtype=np.float32)
+    for i, (c, w) in enumerate(packs):
+        cb[i, : len(c)] = c
+        cb[i, len(c):] = c[0]      # zero-mass padding
+        mb[i, : len(c)] = w
+    from .score import ccc_structures
+    cccs = ccc_structures(dmap, cb, mb, cfg.cc_resolution)
+
+    out: List[AssemblyModel] = []
+    for k, cnt in enumerate(accepted):
         out.append(AssemblyModel(
-            components=[int(i) for i in tup], ccc=float(ccc),
+            components=[int(i) for i in tuples[cnt]], ccc=float(cccs[k]),
             sum_overlap=float(sums[cnt]), std_overlap=float(stds[cnt]),
             max_overlap=float(maxs[cnt])))
     return out

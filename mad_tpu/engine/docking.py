@@ -10,13 +10,14 @@ from dataclasses import dataclass, field
 from typing import List
 
 import numpy as np
+import jax.numpy as jnp
 from scipy.spatial import cKDTree
 
 from ..core.config import MadConfig
 from ..core.geometry import kabsch
-from ..core.grid import DensityGrid, ccc_grids
+from ..core.grid import DensityGrid
 from ..core.structure import Structure
-from ..ops.simulate import simulate_density
+from .score import ccc_structures
 from .pipeline import DescriptorSet
 from .match import match_descriptors, MatchTable
 from .cluster import filter_pairs, Candidate
@@ -71,14 +72,16 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     with stage("refine"):
         res = refine_candidates(dmap, starts, cfg.refine)
 
-    # Re-scored repeatability after refinement (mad/MaD.py:580-590).
+    # Re-scored repeatability after refinement (mad/MaD.py:580-590):
+    # one vmapped Kabsch over all candidates, then host NN queries.
+    Rb, Tb = kabsch(jnp.asarray(np.broadcast_to(x0, res.coords.shape)),
+                    jnp.asarray(res.coords))
+    Rb, Tb = np.asarray(Rb), np.asarray(Tb)
     lo_tree = cKDTree(table.lo_cloud)
     thresh = dmap.voxsp * 1.5
     refined: List[tuple] = []
     for i, cand in enumerate(candidates):
-        R_j, T_j = kabsch(x0, res.coords[i])
-        R, T = np.asarray(R_j), np.asarray(T_j)
-        s_a = table.hi_cloud @ R + T
+        s_a = table.hi_cloud @ Rb[i] + Tb[i]
         d, _ = lo_tree.query(s_a, distance_upper_bound=thresh)
         hits = d <= thresh
         repeat = 100.0 * np.count_nonzero(hits) / table.hi_cloud.shape[0]
@@ -88,7 +91,9 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
                         cand.members))
 
     # Deduplicate by CA RMSD < dedup_rmsd, merging weights
-    # (mad/MaD.py:592-620), then CC-score the unique poses.
+    # (mad/MaD.py:592-620), then CC-score the unique poses in one batched
+    # simulate + CCC program (CCC values are order-independent, so scoring
+    # after the merge matches the reference's interleaved computation).
     solutions: List[Solution] = []
     for coords, corresp, repeat, weight, members in refined:
         struct = sub_struct.with_coords(coords)
@@ -101,15 +106,17 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
                 solutions[j].members.extend(members)
                 merged = True
         if not merged:
-            with stage("solution_ccc"):
-                sub_grid = simulate_density(
-                    struct, resolution, dmap.voxsp,
-                    shape_bucket=cfg.shape_bucket)
-                ccc = ccc_grids(dmap.data, dmap.origin, sub_grid.data,
-                                sub_grid.origin, dmap.voxsp)
             solutions.append(Solution(
                 structure=struct, corresp_anchors=corresp, repeat=repeat,
-                weight=weight, ccc=float(ccc), members=list(members)))
+                weight=weight, ccc=0.0, members=list(members)))
+
+    if solutions:
+        with stage("solution_ccc"):
+            coords_b = np.stack([s.structure.coords for s in solutions])
+            cccs = ccc_structures(dmap, coords_b, sub_struct.masses,
+                                  resolution, shape_bucket=cfg.shape_bucket)
+        for s, c in zip(solutions, cccs):
+            s.ccc = float(c)
 
     for s in solutions:
         s.score = s.repeat * s.weight * s.ccc

@@ -98,6 +98,75 @@ def _compiled_simulate(box: Tuple[int, int, int], margin: int, radius: int,
     return jax.jit(kernel)
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_batched_simulate(m: int, n: int, box: Tuple[int, int, int],
+                               margin: int, radius: int, sigma: float,
+                               voxsp: float, isovalue: float):
+    """Vmapped variant of the scatter/blur kernel: M structures with the
+    same atom count and box size (e.g. docking solutions of one subunit)
+    simulate in one program."""
+    r = radius
+    x = np.arange(-r, r + 1, dtype=np.float64)
+    k1 = np.exp(-(x * x) / (2.0 * sigma ** 2))
+    k1 = (k1 / k1.sum()).astype(np.float32)
+
+    def one(coords, masses, vox_min):
+        g = margin + (coords - vox_min) / voxsp
+        g0 = jnp.floor(g)
+        frac = g - g0
+        i0 = g0.astype(jnp.int32)
+        w1, w0 = frac, 1.0 - frac
+        grid = jnp.zeros(box, dtype=jnp.float32)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    w = (masses
+                         * (w1[:, 0] if dx else w0[:, 0])
+                         * (w1[:, 1] if dy else w0[:, 1])
+                         * (w1[:, 2] if dz else w0[:, 2]))
+                    grid = grid.at[i0[:, 0] + dx, i0[:, 1] + dy,
+                                   i0[:, 2] + dz].add(w, mode="drop")
+        grid = grid / jnp.maximum(jnp.max(grid), 1e-30)
+        dens = separable_conv3d(grid, (k1, k1, k1), mode="full")
+        dens = dens / jnp.maximum(jnp.max(dens), 1e-30)
+        if isovalue:
+            dens = jnp.where(dens < isovalue, 0.0, dens)
+        return dens
+
+    return jax.jit(jax.vmap(one))
+
+
+def batched_simulate(coords: np.ndarray, masses: np.ndarray,
+                     resolution: float, voxsp: float, isovalue: float = 0.0,
+                     shape_bucket: int = 16):
+    """Simulate M same-sized structures at once.
+
+    coords: (M, N, 3); masses: (M, N). Each structure gets its own
+    lattice-registered box; all share one (bucketed) box size.
+    Returns (density (M, X, Y, Z) jnp, origins (M, 3) np).
+    """
+    m, n = coords.shape[:2]
+    mins = voxsp * np.floor(coords.min(axis=1) / voxsp)          # (M, 3)
+    maxs = voxsp * np.ceil(coords.max(axis=1) / voxsp)
+    margin = 2
+    dims = np.ceil((maxs - mins) / voxsp).astype(int) + 2 * margin + 1
+    box = tuple(bucket(int(d), shape_bucket) for d in dims.max(axis=0))
+    sigma = resolution / (math.pi * math.sqrt(2.0)) / voxsp
+    radius = int(math.ceil(3.0 * sigma))
+    n_pad = bucket(n, 256)
+    c = np.zeros((m, n_pad, 3), dtype=np.float32)
+    w = np.zeros((m, n_pad), dtype=np.float32)
+    c[:, :n] = coords
+    c[:, n:] = coords[:, :1]
+    w[:, :n] = masses
+    fn = _compiled_batched_simulate(m, n_pad, box, margin, radius, sigma,
+                                    voxsp, isovalue)
+    dens = fn(jnp.asarray(c), jnp.asarray(w),
+              jnp.asarray(mins[:, None, :], dtype=jnp.float32))
+    origins = mins - (radius + margin) * voxsp
+    return dens, origins
+
+
 def simulate_density(struct_or_coords, resolution: float, voxsp: float,
                      isovalue: float = 0.0, pad: int = 0,
                      masses: np.ndarray = None, shape_bucket: int = 16,
