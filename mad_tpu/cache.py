@@ -32,6 +32,42 @@ def cache_filename(db_dir: str, name: str, resolution: float, isovalue: float,
         f"_dsceqsp{dsc_eqsp}_subregions{subregions}.h5")
 
 
+def matching_filename(out_folder: str, key: str, cc_threshold: float,
+                      weight_threshold: int, n_samples: int) -> str:
+    """Reference-compatible matching-cache key (mad/MaD.py:387)."""
+    return os.path.join(
+        out_folder,
+        f"matching_{key}_cc{cc_threshold:.2f}_w{weight_threshold}"
+        f"_samples{n_samples}.h5")
+
+
+def save_matching(table, path: str) -> None:
+    """Persist a MatchTable (working version of the reference's
+    commented-out matching cache, mad/MaD.py:386-399, 877-889)."""
+    with h5py.File(path, "w") as hf:
+        hf.create_dataset("cc", data=table.cc)
+        hf.create_dataset("repeat", data=table.repeat)
+        hf.create_dataset("hi_idx", data=table.hi_idx)
+        hf.create_dataset("lo_idx", data=table.lo_idx)
+        hf.create_dataset("rot", data=table.rot)
+        hf.create_dataset("hi_coord", data=table.hi_coord)
+        hf.create_dataset("lo_coord", data=table.lo_coord)
+        hf.create_dataset("map_anchors", data=table.lo_cloud)
+        hf.create_dataset("comp_anchors", data=table.hi_cloud)
+
+
+def load_matching(path: str):
+    from .engine.match import MatchTable
+    with h5py.File(path, "r") as hf:
+        return MatchTable(
+            cc=np.asarray(hf["cc"]), repeat=np.asarray(hf["repeat"]),
+            hi_idx=np.asarray(hf["hi_idx"]), lo_idx=np.asarray(hf["lo_idx"]),
+            rot=np.asarray(hf["rot"]), hi_coord=np.asarray(hf["hi_coord"]),
+            lo_coord=np.asarray(hf["lo_coord"]),
+            hi_cloud=np.asarray(hf["comp_anchors"]),
+            lo_cloud=np.asarray(hf["map_anchors"]))
+
+
 def save_descriptors(ds: DescriptorSet, path: str) -> None:
     with h5py.File(path, "w") as hf:
         hf.create_dataset("dsc", data=ds.desc.astype(np.int16))

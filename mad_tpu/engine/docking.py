@@ -41,13 +41,30 @@ class Solution:
 def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
                    sub_struct: Structure, dmap: DensityGrid,
                    resolution: float, cfg: MadConfig, n_copies: int = 1,
-                   verbose: bool = True) -> List[Solution]:
-    """Dock one subunit into the map; returns scored unique solutions."""
+                   verbose: bool = True, match_cache: str = None
+                   ) -> List[Solution]:
+    """Dock one subunit into the map; returns scored unique solutions.
+
+    match_cache: optional h5 path; when set, the match table is loaded from
+    (or saved to) it — a working version of the reference's commented-out
+    matching cache (mad/MaD.py:386-399).
+    """
+    import os as _os
+    from .. import cache as _cache
+
     n_samples = cfg.filter.n_samples * n_copies
 
-    with stage("match"):
-        table = match_descriptors(
-            map_set, sub_set, dmap.shape, dmap.origin, dmap.voxsp, cfg.match)
+    if match_cache and _os.path.exists(match_cache):
+        table = _cache.load_matching(match_cache)
+        if verbose:
+            print(f"MaD> Loaded matched descriptor pairs from {match_cache}")
+    else:
+        with stage("match"):
+            table = match_descriptors(
+                map_set, sub_set, dmap.shape, dmap.origin, dmap.voxsp,
+                cfg.match)
+        if match_cache:
+            _cache.save_matching(table, match_cache)
     if verbose:
         print(f"MaD> {table.n} descriptor pairs above "
               f"cc={cfg.match.cc_threshold:.2f}")

@@ -1,0 +1,125 @@
+import os
+
+import numpy as np
+import pytest
+
+from mad_tpu.core import metrics
+from mad_tpu.core.eqsp import get_eqsp
+from mad_tpu.core.eqsp_viz import write_eqsp_tcl, write_def_pdb, occupancy_ascii
+from mad_tpu.core.grid import DensityGrid, ccc_maps_scaled
+
+
+def test_bc_scoring_perfect_classifier():
+    y = np.array([0, 0, 1, 1, 1])
+    p = np.array([0.1, 0.2, 0.9, 0.8, 0.7])
+    s = metrics.bc_scoring(y, p)
+    assert s["acc"] > 0.99
+    assert s["mcc"] > 0.99
+    assert s["auc"] == pytest.approx(1.0)
+
+
+def test_mcc_precision_f1_sweeps():
+    y = np.array([0, 1, 0, 1, 1, 0])
+    p = np.array([0.2, 0.8, 0.4, 0.9, 0.6, 0.1])
+    mcc, data = metrics.mcc_scoring(y, p)
+    assert len(mcc) == 21
+    assert data[4] > 0.9           # best MCC found
+    prec, _ = metrics.precision_scoring(y, p)
+    assert max(prec) > 0.9
+    f1 = metrics.f1_scoring(y, p)
+    assert max(f1) > 0.9
+
+
+def test_eqsp_viz(tmp_path):
+    tcl = str(tmp_path / "eqsp.tcl")
+    write_eqsp_tcl(tcl, size=16)
+    content = open(tcl).read()
+    assert content.count("draw sphere") == 16
+    assert "draw cylinder" in content
+    write_def_pdb(str(tmp_path / "def.pdb"))
+    assert open(str(tmp_path / "def.pdb")).read().startswith("ATOM")
+
+
+def test_occupancy_ascii():
+    eqsp = get_eqsp(16)
+    counts = np.arange(16)
+    text = occupancy_ascii(counts, eqsp)
+    assert len(text.splitlines()) == 4  # cap, belt, belt, cap
+
+
+def test_mask_with():
+    a = DensityGrid(data=np.ones((6, 6, 6), np.float32),
+                    origin=np.zeros(3), voxsp=1.0)
+    mdat = np.zeros((6, 6, 6), np.float32)
+    mdat[2:4] = 1.0
+    m = DensityGrid(data=mdat, origin=np.zeros(3), voxsp=1.0)
+    out = a.mask_with(m)
+    assert out.data[3, 0, 0] == 1.0 and out.data[0, 0, 0] == 0.0
+    assert out.data.sum() == mdat.sum()
+
+
+def test_ccc_maps_scaled_identical():
+    rng = np.random.default_rng(0)
+    d = rng.random((8, 8, 8)).astype(np.float32)
+    g = DensityGrid(data=d, origin=np.zeros(3), voxsp=1.0)
+    assert ccc_maps_scaled(g, g) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_compat_records():
+    from mad_tpu.compat import to_records
+    from mad_tpu.engine.pipeline import DescriptorSet
+    n = 3
+    ds = DescriptorSet(
+        desc=np.ones((n, 1024), np.int16),
+        desc_norm=np.ones((n, 1024), np.float32) / 32.0,
+        coords=np.zeros((n, 3), np.float32), map_coords=np.zeros((n, 3)),
+        subv_coords=np.zeros((n, 3)),
+        rfinal=np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)),
+        octave=np.zeros(n, np.int32), anchor_id=np.arange(n, dtype=np.int32),
+        main_bin=np.zeros(n, np.int32), sec_bin=np.ones(n, np.int32))
+    recs = to_records(ds)
+    assert len(recs) == 3
+    assert recs[1].index == 1 and recs[1].sec_bin == 1
+    assert "DF @o=0" in recs[0].show()
+
+
+def test_matching_cache_roundtrip(tmp_path):
+    from mad_tpu import cache
+    from mad_tpu.engine.match import MatchTable
+    rng = np.random.default_rng(1)
+    t = MatchTable(
+        cc=rng.random(5), repeat=rng.random(5) * 100,
+        hi_idx=np.arange(5), lo_idx=np.arange(5)[::-1].copy(),
+        rot=np.broadcast_to(np.eye(3), (5, 3, 3)).copy(),
+        hi_coord=rng.random((5, 3)), lo_coord=rng.random((5, 3)),
+        hi_cloud=rng.random((7, 3)), lo_cloud=rng.random((9, 3)))
+    path = str(tmp_path / "m.h5")
+    cache.save_matching(t, path)
+    t2 = cache.load_matching(path)
+    np.testing.assert_allclose(t2.cc, t.cc)
+    np.testing.assert_allclose(t2.rot, t.rot)
+    np.testing.assert_allclose(t2.hi_cloud, t.hi_cloud)
+    np.testing.assert_array_equal(t2.lo_idx, t.lo_idx)
+
+
+def test_functional_repeatability():
+    from mad_tpu.functional import get_repeatability
+    from mad_tpu.engine.pipeline import DescriptorSet
+
+    def mkset(coords):
+        n = len(coords)
+        return DescriptorSet(
+            desc=np.ones((n, 16), np.int16),
+            desc_norm=np.ones((n, 16), np.float32),
+            coords=np.zeros((n, 3), np.float32),
+            map_coords=np.asarray(coords, float),
+            subv_coords=np.asarray(coords, float),
+            rfinal=np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)),
+            octave=np.zeros(n, np.int32),
+            anchor_id=np.arange(n, dtype=np.int32),
+            main_bin=np.zeros(n, np.int32), sec_bin=np.zeros(n, np.int32))
+
+    a = mkset([[0, 0, 0], [10, 0, 0], [20, 0, 0]])
+    b = mkset([[1, 0, 0], [10.5, 0, 0], [100, 0, 0]])
+    rep = get_repeatability(a, b, radii=(2.0,))
+    assert rep[2.0] == pytest.approx(100.0 * 2 / 3)
