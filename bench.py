@@ -15,13 +15,13 @@ import time
 import numpy as np
 
 
-def build_system(n_copies=10, n_res=220, voxsp=1.6, resolution=10.0,
-                 spread=95.0, seed=0):
+def build_system(n_copies=10, n_res=260, voxsp=1.4, resolution=10.0,
+                 spread=115.0, seed=0):
     from mad_tpu.testing import make_assembly
     from mad_tpu.ops.simulate import simulate_density
 
     sub, copies = make_assembly(n_copies=n_copies, n_res=n_res, seed=seed,
-                                spread=spread)
+                                spread=spread, shell=True)
     coords = np.concatenate([c.coords for c in copies])
     masses = np.concatenate([c.masses for c in copies])
     dmap = simulate_density(coords, resolution, voxsp,

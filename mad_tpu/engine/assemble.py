@@ -17,6 +17,7 @@ Replaces MaD.build_assembly / _build_from_single / _build_models
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from itertools import combinations, product
 from typing import Dict, List, Optional, Sequence
@@ -45,14 +46,28 @@ def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig,
     precomputed once instead of per pair."""
     from ..core.grid import overlap_boxes
     n = len(grids)
-    masks = [g.data >= isovalue for g in grids]
-    counts = [int(m.sum()) for m in masks]
+    # Crop each occupancy mask to its nonzero bounding box once; the
+    # (bucketed) simulation boxes are mostly empty padding.
+    masks, origins, counts = [], [], []
+    for g in grids:
+        m = g.data >= isovalue
+        nz = np.nonzero(m)
+        if not len(nz[0]):
+            masks.append(m[:1, :1, :1])
+            origins.append(g.origin)
+            counts.append(0)
+            continue
+        lo = np.array([a.min() for a in nz])
+        hi = np.array([a.max() for a in nz]) + 1
+        masks.append(m[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]])
+        origins.append(g.origin + lo * cfg.sim_voxsp)
+        counts.append(int(masks[-1].sum()))
     ov = np.zeros((n, n))
     for i, j in combinations(range(n), 2):
         if counts[i] == 0:
             continue
-        box = overlap_boxes(grids[i].origin, masks[i].shape,
-                            grids[j].origin, masks[j].shape, cfg.sim_voxsp)
+        box = overlap_boxes(origins[i], masks[i].shape,
+                            origins[j], masks[j].shape, cfg.sim_voxsp)
         if box is None:
             continue
         lo1, hi1, lo2, hi2 = box
@@ -95,14 +110,44 @@ def _score_tuples(tuples: np.ndarray, overlap: np.ndarray):
     return vals.sum(axis=1) / n_copies, vals.std(axis=1), vals.max(axis=1)
 
 
+@functools.lru_cache(maxsize=512)
+def _all_combinations(n: int, k: int) -> np.ndarray:
+    """All C(n, k) index tuples as an (M, k) int array in lexicographic
+    order, built by the memoized Pascal recurrence in vectorized numpy
+    (itertools would materialize millions of Python tuples at this size)."""
+    if k == 0:
+        return np.zeros((1, 0), dtype=np.int32)
+    if k == n:
+        return np.arange(n, dtype=np.int32)[None, :]
+    # combos(n, k) = [0 + (combos of {1..n-1} choose k-1)] U [combos w/o 0]
+    sub = _all_combinations(n - 1, k - 1)
+    with_first = np.concatenate(
+        [np.zeros((len(sub), 1), np.int32), sub + 1], axis=1)
+    without = _all_combinations(n - 1, k) + 1
+    out = np.concatenate([with_first, without], axis=0)
+    out.setflags(write=False)
+    return out
+
+
 def enumerate_homomultimer(n_solutions: int, n_copies: int,
-                           overlap: np.ndarray):
-    """Sorted candidate tuples for a homomultimer (mad/MaD.py:686-694)."""
+                           overlap: np.ndarray,
+                           max_combinations: int = 5_000_000):
+    """Sorted candidate tuples for a homomultimer (mad/MaD.py:686-694).
+
+    When C(n_solutions, n_copies) exceeds ``max_combinations`` the
+    enumeration restricts to the best-ranked solutions (they arrive sorted
+    by RWmCC); the reference enumerates unconditionally and simply becomes
+    unusable at that scale.
+    """
+    import math
     n_copies = min(n_copies, n_solutions)
+    while (n_solutions > n_copies
+           and math.comb(n_solutions, n_copies) > max_combinations):
+        n_solutions -= 1
     if n_copies == 1:
         tuples = np.arange(n_solutions)[:, None]
     else:
-        tuples = np.array(list(combinations(range(n_solutions), n_copies)))
+        tuples = _all_combinations(n_solutions, n_copies)
     s, sd, mx = _score_tuples(tuples, overlap)
     order = np.argsort(mx, kind="stable")
     return tuples[order], s[order], sd[order], mx[order]

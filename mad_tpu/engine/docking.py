@@ -98,6 +98,8 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     thresh = dmap.voxsp * 1.5
     refined: List[tuple] = []
     for i, cand in enumerate(candidates):
+        if res.failed is not None and res.failed[i]:
+            continue  # numerically failed candidate (NaN guard)
         s_a = table.hi_cloud @ Rb[i] + Tb[i]
         d, _ = lo_tree.query(s_a, distance_upper_bound=thresh)
         hits = d <= thresh

@@ -77,30 +77,36 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
         with stage("orient"):
             ori = orient_anchors(octv.grad, anch, octv.real_shape, upsampled,
                                  cfg.orient)
-            flat_valid = np.asarray(ori.valid).reshape(-1)
+            flat_valid_dev = ori.valid.reshape(-1)
+            n_valid = int(jnp.sum(flat_valid_dev))
         K, M, S = ori.valid.shape
-        n_valid = int(flat_valid.sum())
         if n_valid == 0:
             anchor_base += K
             continue
         cap = min(bucket(max(n_valid, 128), 128), K * M * S)
         if n_valid > cfg.describe.max_descriptors:
             cap = cfg.describe.max_descriptors  # overflow: keep first lanes
-        order = np.argsort(~flat_valid, kind="stable")[:cap]
-        lane_anchor = order // (M * S)
-        lane_main = (order // S) % M
-        lane_sec = order % S
-        coords_i = np.asarray(anch.coords)[lane_anchor]
-        rfin = np.asarray(ori.rfinal).reshape(-1, 3, 3)[order]
-        lane_ok = flat_valid[order]
+        # Device-side lane compaction (valid lanes first, anchor-major
+        # order preserved within the valid set).
+        order = jnp.argsort(~flat_valid_dev, stable=True)[:cap]
+        lane_anchor_d = order // (M * S)
+        lane_main_d = (order // S) % M
+        lane_sec_d = order % S
+        coords_d = anch.coords[lane_anchor_d]
+        rfin_d = ori.rfinal.reshape(-1, 3, 3)[order]
+        lane_ok_d = flat_valid_dev[order]
         with stage("describe"):
             descs, ok = describe_anchors(
-                octv.grad, jnp.asarray(coords_i, dtype=jnp.int32),
-                jnp.asarray(rfin), jnp.asarray(lane_ok), octv.real_shape,
+                octv.grad, coords_d, rfin_d, lane_ok_d, octv.real_shape,
                 upsampled, cfg.describe)
             descs = np.asarray(descs)
-        ok = np.asarray(ok) & lane_ok
+        ok = np.asarray(ok) & np.asarray(lane_ok_d)
         keep = np.nonzero(ok)[0]
+        lane_anchor = np.asarray(lane_anchor_d)
+        lane_main = np.asarray(lane_main_d)
+        lane_sec = np.asarray(lane_sec_d)
+        coords_i = np.asarray(coords_d)
+        rfin = np.asarray(rfin_d)
         subvox = np.asarray(anch.subvox)[lane_anchor[keep]]
         mains = np.asarray(ori.main_bin)[lane_anchor[keep], lane_main[keep]]
         secs = np.asarray(ori.sec_bin)[

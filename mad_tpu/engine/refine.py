@@ -44,6 +44,9 @@ class RefineResult:
     coords: np.ndarray        # (C, N, 3) refined atom coordinates
     converged: np.ndarray     # (C,) bool
     steps: np.ndarray         # (C,) int32 active steps until convergence
+    failed: np.ndarray = None # (C,) bool: numerical failure (NaN guard,
+                              # parity: mad/structure_utils.py:97-98 returns
+                              # NaN and aborts that candidate)
 
 
 @functools.lru_cache(maxsize=16)
@@ -61,7 +64,7 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
         hi_bound = origin + (jnp.asarray(shape) - 1) * voxsp
 
         def body(state, step):
-            trans, rot, step_size, prev, frozen = state
+            trans, rot, step_size, prev, frozen, failed = state
             coords = (y0 - center) @ rot + center + trans[:, None]
             inb = jnp.all((coords > origin) & (coords < hi_bound), axis=-1)
             w = (inb & atom_valid[None]).astype(coords.dtype)
@@ -91,9 +94,14 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
             new_step = jnp.where(shrink, step_size * 0.5, step_size)
             take_prev = at_batch & upd
             new_prev = jnp.where(take_prev[:, None, None], new_coords, prev)
-            new_frozen = frozen | (new_step < min_step)
-            return (new_trans, new_rot, new_step, new_prev, new_frozen), \
-                jnp.where(frozen, 0, 1)
+            # NaN guard: a diverging candidate freezes and is flagged
+            # (the reference aborts it, mad/structure_utils.py:97-98).
+            finite = jnp.all(jnp.isfinite(new_coords), axis=(1, 2)) & \
+                jnp.all(jnp.isfinite(new_trans), axis=1)
+            new_failed = failed | ~finite
+            new_frozen = frozen | (new_step < min_step) | new_failed
+            return (new_trans, new_rot, new_step, new_prev, new_frozen,
+                    new_failed), jnp.where(frozen, 0, 1)
 
         # while_loop instead of a fixed scan: once every candidate's step
         # size has decayed below min_step the loop exits (the reference
@@ -112,12 +120,12 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
         init_state = (jnp.zeros((c, 3), y0.dtype),
                       jnp.broadcast_to(jnp.eye(3, dtype=y0.dtype), (c, 3, 3)),
                       jnp.full((c,), max_step, y0.dtype), y0,
-                      jnp.zeros((c,), dtype=bool))
-        _, (trans, rot, _, _, frozen), counts = lax.while_loop(
+                      jnp.zeros((c,), dtype=bool), jnp.zeros((c,), dtype=bool))
+        _, (trans, rot, _, _, frozen, failed), counts = lax.while_loop(
             cond, loop, (jnp.int32(0), init_state,
                          jnp.zeros((c,), jnp.int32)))
         coords = (y0 - center) @ rot + center + trans[:, None]
-        return rot, trans, coords, frozen, counts
+        return rot, trans, coords, frozen, counts, failed
 
     return jax.jit(refine)
 
@@ -141,7 +149,7 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
     fn = _compiled_refine(tuple(dmap.shape), c, n, cfg.n_steps,
                           float(cfg.max_step), float(cfg.min_step),
                           cfg.batch_size)
-    rot, trans, coords, frozen, steps = fn(
+    rot, trans, coords, frozen, steps, failed = fn(
         grad_field, jnp.asarray(y0), jnp.asarray(atom_valid),
         jnp.asarray(dmap.origin, dtype=jnp.float32),
         np.float32(dmap.voxsp))
@@ -150,4 +158,5 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         trans=np.asarray(trans)[:c_real],
         coords=np.asarray(coords)[:c_real, :n_real].astype(np.float64),
         converged=np.asarray(frozen)[:c_real],
-        steps=np.asarray(steps)[:c_real])
+        steps=np.asarray(steps)[:c_real],
+        failed=np.asarray(failed)[:c_real])

@@ -10,13 +10,18 @@ def trilinear(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     (..., 3). Out-of-range points are clamped; callers mask them.
 
     Matches scipy RegularGridInterpolator(method='linear') inside bounds
-    (used by the rigid refiner, mad/structure_utils.py:76-80).
+    (used by the rigid refiner, mad/structure_utils.py:76-80). The 8 corner
+    reads use flat indices into the collapsed volume — measurably faster on
+    TPU than multi-dimensional gathers.
     """
-    shp = jnp.asarray(field.shape[:3])
+    x, y, z = field.shape[:3]
+    flat = field.reshape(-1, field.shape[3])
+    shp = jnp.asarray((x, y, z))
     p = jnp.clip(pts, 0.0, (shp - 1).astype(pts.dtype))
     p0 = jnp.clip(jnp.floor(p).astype(jnp.int32), 0, shp - 2)
     f = p - p0.astype(p.dtype)
     w0, w1 = 1.0 - f, f
+    base = (p0[..., 0] * y + p0[..., 1]) * z + p0[..., 2]
     out = 0.0
     for dx in (0, 1):
         for dy in (0, 1):
@@ -24,7 +29,7 @@ def trilinear(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
                 w = ((w1[..., 0] if dx else w0[..., 0])
                      * (w1[..., 1] if dy else w0[..., 1])
                      * (w1[..., 2] if dz else w0[..., 2]))
-                v = field[p0[..., 0] + dx, p0[..., 1] + dy, p0[..., 2] + dz]
+                v = flat[base + (dx * y + dy) * z + dz]
                 out = out + w[..., None] * v
     return out
 

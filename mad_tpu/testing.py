@@ -70,18 +70,19 @@ def make_protein(n_res: int = 120, seed: int = 0, n_segments: int = 4
 
 
 def make_assembly(n_copies: int = 3, n_res: int = 100, seed: int = 0,
-                  spread: float = 28.0):
+                  spread: float = 28.0, shell: bool = False):
     """One subunit replicated at n_copies random poses -> (subunit, copies).
 
-    Poses are spread on a ring so copies touch but do not overlap, mimicking
-    a homomultimer assembly.
+    Poses sit on a ring (default) or a Fibonacci spherical shell
+    (shell=True, fills a 3D volume) so copies touch but do not overlap,
+    mimicking a homomultimer assembly.
     """
     rng = np.random.default_rng(seed)
     sub = make_protein(n_res=n_res, seed=seed)
     sub = sub.with_coords(sub.coords - sub.center())
     copies = []
+    golden = np.pi * (3.0 - np.sqrt(5.0))
     for i in range(n_copies):
-        ang = 2 * np.pi * i / n_copies
         # Rotate each copy by a distinct random rotation.
         q = rng.normal(size=4)
         q /= np.linalg.norm(q)
@@ -91,6 +92,14 @@ def make_assembly(n_copies: int = 3, n_res: int = 100, seed: int = 0,
             [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
             [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
         ])
-        t = spread * np.array([np.cos(ang), np.sin(ang), 0.1 * rng.normal()])
+        if shell:
+            zc = 1.0 - 2.0 * (i + 0.5) / n_copies
+            r = np.sqrt(max(0.0, 1.0 - zc * zc))
+            ang = golden * i
+            t = spread * np.array([r * np.cos(ang), r * np.sin(ang), zc])
+        else:
+            ang = 2 * np.pi * i / n_copies
+            t = spread * np.array([np.cos(ang), np.sin(ang),
+                                   0.1 * rng.normal()])
         copies.append(sub.transformed(R, t))
     return sub, copies
