@@ -1,16 +1,17 @@
 """Density grid container + map I/O + grid-space scoring.
 
 Replaces the reference's ``mad/Dmap.py`` (container/IO :6-97, CCC :153-372)
-with a light dataclass. Grid data is float32 numpy on host; device kernels
-receive the raw array. Origin arithmetic for overlapping-box scores is exact
-integer work on host; the O(V) reductions run through numpy (cheap) and have
-jnp variants where they sit inside jitted pipelines.
+with a light dataclass. Grid data is float32 and may live on device (jnp) or
+host (numpy); preprocessing ops run as jnp so a grid uploads once and stays
+device-resident through the whole pipeline (host<->device transfers are the
+dominant cost on tunneled TPU hosts). Origin arithmetic for overlapping-box
+scores stays exact integer work on host.
 """
 
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from typing import Tuple
 
 import numpy as np
@@ -21,16 +22,34 @@ from .mrc_io import write_mrc as _write_mrc_file
 
 @dataclass
 class DensityGrid:
-    """data[x, y, z] float32, origin in Angstroms, cubic voxels."""
+    """data[x, y, z] float32 (numpy or device array), origin in Angstroms,
+    cubic voxels."""
 
-    data: np.ndarray
+    data: "np.ndarray"
     origin: np.ndarray          # (3,) float64
     voxsp: float
     name: str = ""
 
     @property
     def shape(self) -> Tuple[int, int, int]:
-        return self.data.shape
+        return tuple(self.data.shape)
+
+    def device(self):
+        """Device-resident float32 view of the data (cached)."""
+        import jax.numpy as jnp
+        dev = self.__dict__.get("_device_data")
+        if dev is None:
+            dev = jnp.asarray(self.data, dtype=jnp.float32)
+            self.__dict__["_device_data"] = dev
+        return dev
+
+    def host(self) -> np.ndarray:
+        """Host numpy view of the data (cached)."""
+        h = self.__dict__.get("_host_data")
+        if h is None:
+            h = np.asarray(self.data)
+            self.__dict__["_host_data"] = h
+        return h
 
     def copy(self) -> "DensityGrid":
         return replace(self, data=self.data.copy(), origin=self.origin.copy())
@@ -38,35 +57,45 @@ class DensityGrid:
     # -- preprocessing (parity: mad/Dmap.py:50-97) ------------------------
 
     def clamp_isovalue(self, isovalue: float) -> "DensityGrid":
-        d = self.data.copy()
-        if np.amax(d) > isovalue:
-            d[d < isovalue] = 0.0
+        import jax.numpy as jnp
+        d = self.device()
+        mx = float(jnp.max(d))
+        if mx > isovalue:
+            d = jnp.where(d < isovalue, 0.0, d)
         else:
-            d[d < 0] = 0.0
+            d = jnp.where(d < 0, 0.0, d)
         return replace(self, data=d)
 
     def normalized(self) -> "DensityGrid":
-        m = np.amax(self.data)
+        import jax.numpy as jnp
+        d = self.device()
+        m = float(jnp.max(d))
         if np.isclose(m, 0):
             return self
-        return replace(self, data=self.data / m)
+        return replace(self, data=d / m)
 
     def padded(self, pad: int) -> "DensityGrid":
+        import jax.numpy as jnp
         return replace(
             self,
-            data=np.pad(self.data, pad, mode="constant"),
+            data=jnp.pad(self.device(), pad, mode="constant"),
             origin=self.origin - pad * self.voxsp,
         )
 
     def reduce_void(self, zeros_padding: int = 10) -> "DensityGrid":
         """Crop to the nonzero bounding box then re-pad
-        (parity: mad/Dmap.py:73-97)."""
-        nz = np.nonzero(self.data)
-        if not len(nz[0]):
+        (parity: mad/Dmap.py:73-90). Only three small per-axis masks cross
+        the host boundary."""
+        import jax.numpy as jnp
+        d = self.device()
+        occ = d != 0
+        axes_any = [np.asarray(jnp.any(occ, axis=ax))
+                    for ax in ((1, 2), (0, 2), (0, 1))]
+        if not axes_any[0].any():
             return self
-        lo = np.array([np.amin(a) for a in nz])
-        hi = np.array([np.amax(a) for a in nz])
-        data = self.data[lo[0]:hi[0] + 1, lo[1]:hi[1] + 1, lo[2]:hi[2] + 1]
+        lo = np.array([int(np.argmax(a)) for a in axes_any])
+        hi = np.array([len(a) - int(np.argmax(a[::-1])) for a in axes_any])
+        data = d[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
         g = replace(self, data=data, origin=self.origin + lo * self.voxsp)
         return g.padded(zeros_padding)
 
@@ -77,12 +106,14 @@ class DensityGrid:
         if not np.isclose(self.voxsp, mask.voxsp):
             raise ValueError(
                 f"voxel spacings do not match: {self.voxsp} vs {mask.voxsp}")
-        out = np.zeros_like(self.data)
+        out = np.zeros(self.shape, dtype=np.float32)
         box = self.overlap_box_with(mask)
         if box is not None:
             lo1, hi1, lo2, hi2 = box
-            common = mask.data[lo2[0]:hi2[0], lo2[1]:hi2[1], lo2[2]:hi2[2]]
-            region = self.data[lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]]
+            mdata = mask.host()
+            sdata = self.host()
+            common = mdata[lo2[0]:hi2[0], lo2[1]:hi2[1], lo2[2]:hi2[2]]
+            region = sdata[lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]]
             out[lo1[0]:hi1[0], lo1[1]:hi1[1], lo1[2]:hi1[2]] = np.where(
                 common < eps, 0.0, region)
         return replace(self, data=out)
@@ -98,7 +129,7 @@ class DensityGrid:
         """Normalized cross-correlation over the overlapping box
         (parity: Dmap.get_CCC_with_grid, mad/Dmap.py:153-258)."""
         return ccc_grids(
-            self.data, self.origin, other.data, other.origin, self.voxsp,
+            self.host(), self.origin, other.host(), other.origin, self.voxsp,
             isovalue=isovalue,
         )
 
@@ -129,6 +160,8 @@ def ccc_grids(grid1, origin1, grid2, origin2, voxsp, isovalue: float = 0.0):
     Parity with mad/Dmap.py:153-258, including that the norms are taken over
     the overlap box only (not the full grids).
     """
+    grid1 = np.asarray(grid1)
+    grid2 = np.asarray(grid2)
     box = overlap_boxes(origin1, grid1.shape, origin2, grid2.shape, voxsp)
     if box is None:
         return 0.0
@@ -182,8 +215,8 @@ def overlap_fraction(grid1, origin1, grid2, origin2, voxsp,
                      isovalue: float = 1e-8) -> float:
     """Fraction of grid1's nonzero voxels that overlap nonzero voxels of
     grid2 (parity: structure_utils.get_overlap, mad/structure_utils.py:163-259)."""
-    g1 = np.where(grid1 < isovalue, 0.0, grid1)
-    g2 = np.where(grid2 < isovalue, 0.0, grid2)
+    g1 = np.where(np.asarray(grid1) < isovalue, 0.0, np.asarray(grid1))
+    g2 = np.where(np.asarray(grid2) < isovalue, 0.0, np.asarray(grid2))
     box = overlap_boxes(origin1, g1.shape, origin2, g2.shape, voxsp)
     m1_vals = np.count_nonzero(g1 > 0)
     if m1_vals == 0 or box is None:
@@ -256,14 +289,14 @@ def _read_mrc(path: str, name: str) -> DensityGrid:
 def write_mrc(grid: DensityGrid, path: str) -> None:
     """Write MRC with mapc/r/s = 1/2/3 and origin header
     (parity: mad/Dmap.py:392-416)."""
-    _write_mrc_file(path, grid.data.astype(np.float32).transpose(2, 1, 0),
+    _write_mrc_file(path, grid.host().astype(np.float32).transpose(2, 1, 0),
                     grid.voxsp, grid.origin)
 
 
 def write_sit(grid: DensityGrid, path: str) -> None:
     """Situs text format (parity: mad/Dmap.py:377-390)."""
     xb, yb, zb = grid.shape
-    vals = grid.data.transpose(2, 1, 0).reshape(-1)  # x fastest
+    vals = grid.host().transpose(2, 1, 0).reshape(-1)  # x fastest
     with open(path, "w") as fh:
         fh.write("%f %f %f %f %i %i %i\n\n" % (
             grid.voxsp, grid.origin[0], grid.origin[1], grid.origin[2],

@@ -50,7 +50,7 @@ def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig,
     # (bucketed) simulation boxes are mostly empty padding.
     masks, origins, counts = [], [], []
     for g in grids:
-        m = g.data >= isovalue
+        m = g.host() >= isovalue
         nz = np.nonzero(m)
         if not len(nz[0]):
             masks.append(m[:1, :1, :1])

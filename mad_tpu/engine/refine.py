@@ -53,8 +53,12 @@ class RefineResult:
 def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
                      n_steps: int, max_step: float, min_step: float,
                      batch_size: int):
-    def refine(grad_field, y0, atom_valid, origin, voxsp):
+    def refine(map_data, y0, atom_valid, origin, voxsp):
         """y0: (C, N, 3) start coords; atom_valid: (N,) padding mask."""
+        # Map gradient computed on device (parity: np.gradient of the raw
+        # processed map, mad/structure_utils.py:80).
+        gx, gy, gz = jnp.gradient(map_data)
+        grad_field = jnp.stack([gx, gy, gz], axis=-1)
         av = atom_valid.astype(y0.dtype)
         n_atoms = jnp.maximum(jnp.sum(av), 1.0)
         center = (jnp.sum(y0 * av[None, :, None], axis=1, keepdims=True)
@@ -143,14 +147,11 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         y0[c_real:] = y0[0]
     atom_valid = np.zeros(n, dtype=bool)
     atom_valid[:n_real] = True
-    gx, gy, gz = np.gradient(dmap.data)
-    grad_field = jnp.asarray(np.stack([gx, gy, gz], axis=-1),
-                             dtype=jnp.float32)
     fn = _compiled_refine(tuple(dmap.shape), c, n, cfg.n_steps,
                           float(cfg.max_step), float(cfg.min_step),
                           cfg.batch_size)
     rot, trans, coords, frozen, steps, failed = fn(
-        grad_field, jnp.asarray(y0), jnp.asarray(atom_valid),
+        dmap.device(), jnp.asarray(y0), jnp.asarray(atom_valid),
         jnp.asarray(dmap.origin, dtype=jnp.float32),
         np.float32(dmap.voxsp))
     return RefineResult(

@@ -56,9 +56,11 @@ def batched_ccc(dmap: DensityGrid, model_grids, model_origins: np.ndarray,
     target = tuple(bucket(int(s + lo + hi), shape_bucket)
                    for s, lo, hi in zip(dmap.shape, pad_lo, pad_hi))
     pad_hi = [t - s - lo for t, s, lo in zip(target, dmap.shape, pad_lo)]
-    map_pad = np.pad(dmap.data, list(zip(pad_lo, pad_hi)))
+    map_pad = jnp.pad(dmap.device(),
+                      list(zip([int(x) for x in pad_lo],
+                               [int(x) for x in pad_hi])))
     fn = _compiled_batched_ccc(tuple(map_pad.shape), model_shape)
-    out = fn(jnp.asarray(map_pad), model_grids,
+    out = fn(map_pad, model_grids,
              jnp.asarray(starts + pad_lo, dtype=jnp.int32))
     return np.asarray(out)
 

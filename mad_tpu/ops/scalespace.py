@@ -66,21 +66,19 @@ def _compiled_build(shape: Tuple[int, int, int], sig_init: float,
 def build_scale_space(grid: DensityGrid, cfg: ScaleSpaceConfig,
                       shape_bucket: int = 32) -> ScaleSpace:
     """Pad, bucket and filter a density grid into its octaves."""
-    data = grid.data
+    data = grid.device()
     origin = grid.origin.copy()
     if cfg.map_padding:
-        data = np.pad(data, cfg.map_padding, mode="constant")
+        data = jnp.pad(data, cfg.map_padding, mode="constant")
         origin = origin - cfg.map_padding * grid.voxsp
-    real = data.shape
+    real = tuple(data.shape)
     dims = tuple(bucket(s, shape_bucket) for s in real)
     if dims != real:
-        padded = np.zeros(dims, dtype=np.float32)
-        padded[: real[0], : real[1], : real[2]] = data
-        data = padded
+        data = jnp.pad(data, [(0, d - r) for d, r in zip(dims, real)])
     fn = _compiled_build(dims, float(cfg.detect_sigma),
                          float(cfg.presmooth_sigma), cfg.oct_mode,
                          float(cfg.truncate))
-    outs = fn(jnp.asarray(data, dtype=jnp.float32))
+    outs = fn(data)
     octaves = []
     idx = 0
     if cfg.oct_mode in ("up", "both"):

@@ -193,5 +193,6 @@ def simulate_density(struct_or_coords, resolution: float, voxsp: float,
                             plan.voxsp, plan.isovalue)
     dens = fn(jnp.asarray(c), jnp.asarray(m),
               jnp.asarray(plan.vox_min, dtype=jnp.float32))
-    return DensityGrid(data=np.asarray(dens), origin=plan.out_origin,
+    # Stays device-resident; callers pull via DensityGrid.host() when needed.
+    return DensityGrid(data=dens, origin=plan.out_origin,
                        voxsp=voxsp, name=name)
