@@ -54,6 +54,7 @@ def run_fit(sub, copies, dmap, resolution, cfg):
             grids = asm.solution_grids(structures, cfg.assembly)
         with stage("bench.overlap_matrix"):
             overlap = asm._overlap_matrix(grids, cfg.assembly)
+        with stage("bench.enumerate"):
             tuples, sums, stds, maxs = asm.enumerate_homomultimer(
                 len(sols), min(n_copies, len(sols)), overlap)
         with stage("bench.score_models"):

@@ -69,23 +69,27 @@ def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
 
 @functools.lru_cache(maxsize=16)
 def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
-    """Occupancy-of-map-anchors field dilated by a voxel sphere."""
+    """Occupancy-of-map-anchors field dilated by a voxel sphere.
+
+    Dilation = shift-OR over the sphere's voxel offsets (fused slice maxima
+    run near memory speed; 3D single-channel convs do not, see
+    ops/convolve.py)."""
     r = radius_vox
     g = np.mgrid[-r:r + 1, -r:r + 1, -r:r + 1]
-    sphere = (np.sum(g * g, axis=0) <= r * r).astype(np.float32)
-    kern = jnp.asarray(sphere[None, None])
+    offsets = np.argwhere(np.sum(g * g, axis=0) <= r * r) - r  # (P, 3)
 
     def build(pos_vox, valid):
         occ = jnp.zeros(shape, dtype=jnp.float32)
         occ = occ.at[pos_vox[:, 0], pos_vox[:, 1], pos_vox[:, 2]].max(
             jnp.where(valid, 1.0, 0.0), mode="drop")
-        # Binary occupancy: reduced precision is exact enough for > 0.5.
-        out = lax.conv_general_dilated(
-            occ[None, None], kern, (1, 1, 1),
-            padding=[(r, r), (r, r), (r, r)],
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
-            precision=lax.Precision.DEFAULT)
-        return (out[0, 0] > 0.5).astype(jnp.int8)
+        padded = jnp.pad(occ, r)
+        out = None
+        for dx, dy, dz in offsets:
+            sl = padded[r + dx: r + dx + shape[0],
+                        r + dy: r + dy + shape[1],
+                        r + dz: r + dz + shape[2]]
+            out = sl if out is None else jnp.maximum(out, sl)
+        return (out > 0.5).astype(jnp.int8)
 
     return jax.jit(build)
 

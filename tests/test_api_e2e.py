@@ -28,12 +28,19 @@ def system(tmp_path_factory):
     return root, map_path, sub_path, copies
 
 
-def test_full_session(system):
+@pytest.fixture(scope="module")
+def session(system):
     root, map_path, sub_path, copies = system
     mad = MaD(workdir=str(root))
     mad.add_map(map_path, resolution=8.0)
     mad.add_subunit(sub_path, n_copies=2)
     mad.run(transform_subunits=True)
+    return mad
+
+
+def test_full_session(system, session):
+    root, map_path, sub_path, copies = system
+    mad = session
     # solutions exist and recover both copies
     key = "subunit"
     sols = mad.solutions[key]
@@ -78,6 +85,32 @@ def test_descriptor_cache_roundtrip(system):
     assert ds.desc.shape[1] == 1024
     np.testing.assert_allclose(np.linalg.norm(ds.desc_norm, axis=1), 1.0,
                                atol=1e-5)
+
+
+def test_heteromer_assembly_path(system, session):
+    # Exercise the subcomplex + cartesian-product assembly path
+    # (mad/MaD.py:216-222, 748-843) by registering the docked solutions
+    # under two distinct subunit keys.
+    root, map_path, sub_path, copies = system
+    mad = session
+    n_copies, files = mad.buildable_subunits["subunit"]
+    assert len(files) >= 2
+    mad.buildable_subunits = {
+        "subA": [1, [files[0], files[1]]],
+        "subB": [1, list(files)],
+    }
+    mad.build_assembly()
+    out = mad.out_folder
+    assert os.path.isdir(os.path.join(out, "subcomplexes"))
+    subs = os.listdir(os.path.join(out, "subcomplexes"))
+    assert any(f.startswith("SubComplexsubA") for f in subs)
+    models_dir = os.path.join(out, "assembly_models")
+    models = [f for f in os.listdir(models_dir) if f.startswith("Model_")]
+    assert models
+    # Best heteromer model = the two distinct placements (no self-overlap)
+    m1 = parse_pdb(os.path.join(models_dir, "Model_1.pdb"))
+    chains = {row[3] for row in m1.info}
+    assert chains == {"A", "B"}
 
 
 def test_ensemble_scoring(system):
