@@ -154,28 +154,102 @@ def _all_combinations(n: int, k: int) -> np.ndarray:
     return out
 
 
+def _unrank_combination(r: int, n: int, k: int) -> list:
+    """r-th (0-based) k-combination of {0..n-1} in lexicographic order."""
+    import math
+    out = []
+    x = 0
+    for i in range(k):
+        while math.comb(n - 1 - x, k - 1 - i) <= r:
+            r -= math.comb(n - 1 - x, k - 1 - i)
+            x += 1
+        out.append(x)
+        x += 1
+    return out
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_enumerate_head(n: int, k: int, nsol: int, head: int):
+    """One fused program: build all C(n, k) tuples ON DEVICE (trace-time
+    Pascal recurrence, so no index matrices cross the host boundary),
+    reduce each tuple to its max pairwise overlap, return the stable
+    head (smallest max first, ties by lexicographic tuple index)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def run(overlap):
+        cache = {}
+
+        def combos(nn, kk):
+            if (nn, kk) in cache:
+                return cache[(nn, kk)]
+            if kk == 0:
+                out = jnp.zeros((1, 0), jnp.int32)
+            elif kk == nn:
+                out = jnp.arange(nn, dtype=jnp.int32)[None, :]
+            else:
+                sub = combos(nn - 1, kk - 1)
+                wf = jnp.concatenate(
+                    [jnp.zeros((sub.shape[0], 1), jnp.int32), sub + 1],
+                    axis=1)
+                wo = combos(nn - 1, kk) + 1
+                out = jnp.concatenate([wf, wo], axis=0)
+            cache[(nn, kk)] = out
+            return out
+
+        t = combos(n, k)                                  # (M, k)
+        pair_idx = list(combinations(range(k), 2))
+        i0 = jnp.asarray([p[0] for p in pair_idx])
+        i1 = jnp.asarray([p[1] for p in pair_idx])
+        vals = overlap[t[:, i0], t[:, i1]]                # (M, npair)
+        mx = jnp.max(vals, axis=1)
+        neg, idx = lax.top_k(-mx, min(head, t.shape[0]))
+        return idx, -neg
+
+    return jax.jit(run)
+
+
 def enumerate_homomultimer(n_solutions: int, n_copies: int,
                            overlap: np.ndarray,
-                           max_combinations: int = 5_000_000):
-    """Sorted candidate tuples for a homomultimer (mad/MaD.py:686-694).
+                           max_combinations: int = 5_000_000,
+                           head: int = 256):
+    """Head of the candidate-tuple ranking for a homomultimer
+    (mad/MaD.py:686-694: all C(n, k) tuples sorted by max pairwise overlap).
 
-    When C(n_solutions, n_copies) exceeds ``max_combinations`` the
-    enumeration restricts to the best-ranked solutions (they arrive sorted
-    by RWmCC); the reference enumerates unconditionally and simply becomes
-    unusable at that scale.
+    Model building only consumes the head of that ranking (it stops at
+    ``max_models`` or at the first clash, mad/MaD.py:730), so only the
+    ``head`` best tuples are materialized: the max-overlap reduction over
+    every tuple runs on device, the full host sort never happens. When
+    C(n_solutions, n_copies) exceeds ``max_combinations`` the enumeration
+    restricts to the best-ranked solutions (they arrive sorted by RWmCC).
     """
     import math
+    import jax.numpy as jnp
+    from ..core.config import bucket
     n_copies = min(n_copies, n_solutions)
     while (n_solutions > n_copies
            and math.comb(n_solutions, n_copies) > max_combinations):
         n_solutions -= 1
     if n_copies == 1:
         tuples = np.arange(n_solutions)[:, None]
-    else:
+        z = np.zeros(len(tuples))
+        return tuples, z, z, z
+    if math.comb(n_solutions, n_copies) <= 4 * head:
         tuples = _all_combinations(n_solutions, n_copies)
-    s, sd, mx = _score_tuples(tuples, overlap)
-    order = np.argsort(mx, kind="stable")
-    return tuples[order], s[order], sd[order], mx[order]
+        s, sd, mx = _score_tuples(tuples, overlap)
+        order = np.argsort(mx, kind="stable")
+        return tuples[order], s[order], sd[order], mx[order]
+
+    fn = _compiled_enumerate_head(n_solutions, n_copies, overlap.shape[0],
+                                  head)
+    idx, mx = fn(jnp.asarray(overlap, dtype=jnp.float32))
+    keep = np.asarray(idx)
+    top = np.asarray([_unrank_combination(int(r), n_solutions, n_copies)
+                      for r in keep], dtype=np.int32)
+    s, sd, mx2 = _score_tuples(top, overlap)
+    order = np.argsort(mx2, kind="stable")
+    return top[order], s[order], sd[order], mx2[order]
 
 
 def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray):
