@@ -108,7 +108,9 @@ def _compiled_describe(shape: Tuple[int, int, int],
 
         counts = lax.map(one_zone, jnp.arange(subeqsp_size))       # (Z, R)
         desc = jnp.moveaxis(counts, 0, -1).reshape(-1)             # (R*Z,)
-        return jnp.where(ok, desc, 0).astype(jnp.int32), ok
+        # Counts <= patch_size^3 fit int16 (reference stores int16 too,
+        # mad/Descriptor.py:198); halves the device->host pull.
+        return jnp.where(ok, desc, 0).astype(jnp.int16), ok
 
     def describe(grad, coords, rfinals, valid):
         d = coords.shape[0]

@@ -145,7 +145,26 @@ def _compiled_detect(shape: Tuple[int, int, int],
                     & (z >= eb) & (z < rz - eb))
         is_peak = (vol >= pooled) & (vol > threshold) & interior
         scores = jnp.where(is_peak, vol, -jnp.inf).reshape(-1)
-        vals, flat_idx = lax.top_k(scores, capacity)
+        v = scores.shape[0]
+        if v > (1 << 22):
+            # Two-stage top-k: a flat top_k over 10^8+ voxels is the
+            # detection bottleneck. Peaks are >=2 voxels apart, so a
+            # 4096-voxel segment holds far fewer than 512 peaks; per-segment
+            # top-512 then a global top-k is exact in practice and ~10x
+            # cheaper.
+            block = 4096
+            pad = (-v) % block
+            seg = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+            seg = seg.reshape(-1, block)
+            kseg = min(512, block, capacity)
+            svals, scols = lax.top_k(seg, kseg)
+            base = (jnp.arange(seg.shape[0], dtype=jnp.int32) * block)[:, None]
+            cand_idx = (base + scols).reshape(-1)
+            cand_vals = svals.reshape(-1)
+            vals, sub = lax.top_k(cand_vals, capacity)
+            flat_idx = cand_idx[sub]
+        else:
+            vals, flat_idx = lax.top_k(scores, capacity)
         seeds = jnp.stack(jnp.unravel_index(flat_idx, shape), axis=-1
                           ).astype(jnp.int32)
         valid_seed = vals > threshold
