@@ -121,6 +121,8 @@ class MaD:
             dsc_subregions, patch_size, cc_threshold, weight_threshold,
             n_samples)
         self.check_preprocess_data()
+        if self.out_folder is None:
+            return  # inputs incomplete; check_preprocess_data printed why
         self.get_descriptors()
         self.get_solutions()
 
@@ -206,7 +208,6 @@ class MaD:
         if sum(v[0] for v in self.buildable_subunits.values()) == 1:
             print("MaD> No assembly to build from a monomeric structure")
             return
-        acfg = self.config.assembly
         if len(self.buildable_subunits) == 1:
             key = next(iter(self.buildable_subunits))
             self._build_from_single(key, max_models, max_overlap_complex,
