@@ -86,7 +86,8 @@ class MatchConfig:
 
     cc_threshold: float = 0.6      # min cosine similarity between descriptors
     anchor_dist: float = 4.0       # repeatability correspondence radius (A)
-    max_pairs: int = 32768         # static capacity of candidate pairs
+    max_pairs: int = 65536         # static capacity of candidate pairs
+    row_cap: int = 128             # per-subunit-descriptor pair candidates
     exact_top: int = 1024          # pairs re-scored with exact NN distances
 
 

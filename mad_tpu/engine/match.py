@@ -166,7 +166,7 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     dl = bucket(max(map_set.n, 128), 128)
     hi = _pad_rows(sub_set.desc_norm, dh)
     lo = _pad_rows(map_set.desc_norm, dl)
-    sim_fn = _compiled_similarity(dh, dl, 64, cfg.max_pairs,
+    sim_fn = _compiled_similarity(dh, dl, cfg.row_cap, cfg.max_pairs,
                                   float(cfg.cc_threshold))
     with stage("match.similarity"):
         ccs, rows, cols, ok = sim_fn(jnp.asarray(hi), jnp.asarray(lo))
