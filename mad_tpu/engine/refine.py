@@ -34,7 +34,7 @@ from jax import lax
 from ..core.config import RefineConfig, bucket
 from ..core.geometry import axis_angle_mat, unit
 from ..core.grid import DensityGrid
-from ..ops.interp import trilinear
+from ..ops.interp import pack_corners, trilinear, trilinear_packed
 
 
 @dataclass
@@ -59,6 +59,12 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
         # processed map, mad/structure_utils.py:80).
         gx, gy, gz = jnp.gradient(map_data)
         grad_field = jnp.stack([gx, gy, gz], axis=-1)
+        # Corner-packed field: one 128B-row gather per atom per step instead
+        # of 8 corner gathers (exactly equal values, ~2x faster; costs 8x
+        # field memory so it is gated on volume size).
+        use_packed = (shape[0] * shape[1] * shape[2]) * 128 < 4 << 30
+        if use_packed:
+            packed = pack_corners(grad_field)
         av = atom_valid.astype(y0.dtype)
         n_atoms = jnp.maximum(jnp.sum(av), 1.0)
         center = (jnp.sum(y0 * av[None, :, None], axis=1, keepdims=True)
@@ -73,7 +79,10 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
             inb = jnp.all((coords > origin) & (coords < hi_bound), axis=-1)
             w = (inb & atom_valid[None]).astype(coords.dtype)
             vox = (coords - origin) / voxsp
-            g = trilinear(grad_field, vox) * w[..., None]       # (C, N, 3)
+            if use_packed:
+                g = trilinear_packed(packed, shape, vox) * w[..., None]
+            else:
+                g = trilinear(grad_field, vox) * w[..., None]   # (C, N, 3)
 
             is_trans = (step % 2) == 0
             # Translation move (mad/structure_utils.py:109-116).
