@@ -70,7 +70,7 @@ def load_matching(path: str):
 
 def save_descriptors(ds: DescriptorSet, path: str) -> None:
     with h5py.File(path, "w") as hf:
-        hf.create_dataset("dsc", data=ds.desc.astype(np.int16))
+        hf.create_dataset("dsc", data=np.asarray(ds.desc).astype(np.int16))
         info = np.stack([
             ds.anchor_id, ds.main_bin, ds.sec_bin, ds.octave,
             np.full(ds.n, ds.eqsp_size), np.full(ds.n, ds.subeqsp_size),

@@ -34,8 +34,8 @@ class DescriptorSet:
     [index, main_bin, sec_bin, octave, eqsp_size, subeqsp_size].
     """
 
-    desc: np.ndarray          # (N, D) int16
-    desc_norm: np.ndarray     # (N, D) float32, L2-normalized rows
+    desc: "np.ndarray"        # (N, D) int16 counts (may be device-resident)
+    desc_norm: "np.ndarray"   # (N, D) float32 unit rows (may be device)
     coords: np.ndarray        # (N, 3) float32 voxel coords in own octave
     map_coords: np.ndarray    # (N, 3) float64 on-lattice coords (A)
     subv_coords: np.ndarray   # (N, 3) float64 subvoxel coords (A)
@@ -99,24 +99,24 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
             descs, ok = describe_anchors(
                 octv.grad, coords_d, rfin_d, lane_ok_d, octv.real_shape,
                 upsampled, cfg.describe)
-            descs = np.asarray(descs)
-        ok = np.asarray(ok) & np.asarray(lane_ok_d)
+            ok = np.asarray(ok & lane_ok_d)
         keep = np.nonzero(ok)[0]
+        keep_d = jnp.asarray(keep)
         lane_anchor = np.asarray(lane_anchor_d)
         lane_main = np.asarray(lane_main_d)
         lane_sec = np.asarray(lane_sec_d)
         coords_i = np.asarray(coords_d)
-        rfin = np.asarray(rfin_d)
+        rfin = np.asarray(rfin_d[keep_d])
         subvox = np.asarray(anch.subvox)[lane_anchor[keep]]
         mains = np.asarray(ori.main_bin)[lane_anchor[keep], lane_main[keep]]
         secs = np.asarray(ori.sec_bin)[
             lane_anchor[keep], lane_main[keep], lane_sec[keep]]
         rows.append(dict(
-            desc=descs[keep],
+            desc=descs[keep_d],        # stays on device
             coords=coords_i[keep].astype(np.float32),
             map_coords=coords_i[keep] * octv.voxsp + ss.origin,
             subv_coords=subvox.astype(np.float64) * octv.voxsp + ss.origin,
-            rfinal=rfin[keep].astype(np.float32),
+            rfinal=rfin.astype(np.float32),
             octave=np.full(len(keep), oi, dtype=np.int32),
             anchor_id=(anchor_base + lane_anchor[keep]).astype(np.int32),
             main_bin=mains.astype(np.int32),
@@ -136,13 +136,13 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
             eqsp_size=cfg.orient.eqsp_size,
             subeqsp_size=cfg.describe.subeqsp_size, name=name or grid.name)
 
+    desc = jnp.concatenate([r.pop("desc") for r in rows])   # device int16
     cat = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
-    desc = cat.pop("desc")
-    norm = desc.astype(np.float32)
-    lens = np.linalg.norm(norm, axis=1, keepdims=True)
-    norm = np.where(lens > 0, norm / np.where(lens > 0, lens, 1.0), norm)
+    norm = desc.astype(jnp.float32)
+    lens = jnp.linalg.norm(norm, axis=1, keepdims=True)
+    norm = jnp.where(lens > 0, norm / jnp.where(lens > 0, lens, 1.0), norm)
     return DescriptorSet(
-        desc=desc.astype(np.int16), desc_norm=norm,
+        desc=desc, desc_norm=norm,
         eqsp_size=cfg.orient.eqsp_size,
         subeqsp_size=cfg.describe.subeqsp_size,
         name=name or grid.name, **cat)
