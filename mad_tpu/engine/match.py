@@ -53,7 +53,10 @@ class MatchTable:
 def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
                          threshold: float):
     def run(hi, lo):
-        sim = jnp.dot(hi, lo.T, preferred_element_type=jnp.float32)
+        # bf16x3 passes keep descriptor cosines accurate to ~1e-5 against
+        # a 0.6 threshold; full f32 ("highest") is ~2x slower on MXU.
+        sim = jnp.dot(hi, lo.T, preferred_element_type=jnp.float32,
+                      precision=lax.Precision.HIGH)
         k = min(row_cap, dl)
         vals, cols = lax.top_k(sim, k)                    # (dh, k)
         flat = vals.reshape(-1)

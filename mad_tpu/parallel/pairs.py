@@ -55,7 +55,8 @@ def sharded_similarity_topk(hi: jnp.ndarray, lo: jnp.ndarray, k: int,
     fn = shard_map(
         kernel, mesh=mesh,
         in_specs=(P(), P(axis, None)),
-        out_specs=(P(), P(), P()))
+        out_specs=(P(), P(), P()),
+        check_vma=False)  # outputs are replicated post-all_gather
     return jax.jit(fn)(hi, jax.device_put(
         lo, NamedSharding(mesh, P(axis, None))))
 

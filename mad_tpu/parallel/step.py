@@ -89,14 +89,15 @@ def multichip_step(n_devices: int, vol_dim: int = 32, n_desc: int = 256,
             rot = jnp.where(is_t, rot, rot @ rstep)
             return (trans, rot), None
 
-        init = (jnp.zeros((y0.shape[0], 3)),
-                jnp.broadcast_to(jnp.eye(3), (y0.shape[0], 3, 3)))
+        # carry must share the varying-axes type of the sharded y0
+        init = (y0[:, 0] * 0.0, jnp.eye(3) + 0.0 * y0[:, :3, :3])
         (trans, rot), _ = lax.scan(body, init, jnp.arange(refine_steps))
         return (y0 - center) @ rot + center + trans[:, None]
 
     sim_sharded = shard_map(sim_kernel, mesh=mesh,
                             in_specs=(P(), P(ax, None)),
-                            out_specs=(P(), P()))
+                            out_specs=(P(), P()),
+                            check_vma=False)
     repeat_sharded = shard_map(repeat_kernel, mesh=mesh,
                                in_specs=(P(), P(), P(ax, None, None)),
                                out_specs=P(ax))

@@ -55,7 +55,7 @@ def test_sharded_similarity_topk():
                                atol=1e-5)
     # Each reported (row, col) reproduces its value
     for v, r, c in zip(np.asarray(vals), np.asarray(rows), np.asarray(cols)):
-        assert abs(sim[r, c] - v) < 1e-5
+        assert abs(sim[r, c] - v) < 5e-5
 
 
 @needs_devices
