@@ -12,6 +12,7 @@ from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import MadConfig, bucket
@@ -73,7 +74,6 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
         upsampled = octv.voxsp < grid.voxsp
         with stage("detect"):
             anch = detect_anchors(octv.log, octv.real_shape, cfg.detect)
-            anch.valid.block_until_ready()
         with stage("orient"):
             ori = orient_anchors(octv.grad, anch, octv.real_shape, upsampled,
                                  cfg.orient)
@@ -102,14 +102,15 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
             ok = np.asarray(ok & lane_ok_d)
         keep = np.nonzero(ok)[0]
         keep_d = jnp.asarray(keep)
-        lane_anchor = np.asarray(lane_anchor_d)
-        lane_main = np.asarray(lane_main_d)
-        lane_sec = np.asarray(lane_sec_d)
-        coords_i = np.asarray(coords_d)
-        rfin = np.asarray(rfin_d[keep_d])
-        subvox = np.asarray(anch.subvox)[lane_anchor[keep]]
-        mains = np.asarray(ori.main_bin)[lane_anchor[keep], lane_main[keep]]
-        secs = np.asarray(ori.sec_bin)[
+        # Single consolidated device->host pull (per-array syncs are
+        # latency-bound on tunneled hosts).
+        (lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
+         all_mains, all_secs) = jax.device_get(
+            (lane_anchor_d, lane_main_d, lane_sec_d, coords_d,
+             rfin_d[keep_d], anch.subvox, ori.main_bin, ori.sec_bin))
+        subvox = all_subvox[lane_anchor[keep]]
+        mains = all_mains[lane_anchor[keep], lane_main[keep]]
+        secs = all_secs[
             lane_anchor[keep], lane_main[keep], lane_sec[keep]]
         rows.append(dict(
             desc=descs[keep_d],        # stays on device
