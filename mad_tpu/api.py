@@ -531,3 +531,13 @@ class MaD:
                 for c, o in zip(coords, ori):
                     fh.write(".arrow %f %f %f %f %f %f 0.2 1.0 0.75\n"
                              % (c[0], c[1], c[2], o[0], o[1], o[2]))
+            if off == 0:
+                # hi->lo correspondence cylinders (mad/MaD.py:1085-1089)
+                los = arr[:, 3:6]
+                with open(os.path.join(
+                        anchor_path,
+                        f"anchor_cor_{identifier}.bld"), "w") as fh:
+                    fh.write(".color black\n")
+                    for c, l in zip(coords, los):
+                        fh.write(".cylinder %f %f %f %f %f %f 0.1 \n"
+                                 % (c[0], c[1], c[2], l[0], l[1], l[2]))
