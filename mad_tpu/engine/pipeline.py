@@ -19,7 +19,7 @@ from ..core.config import MadConfig, bucket
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from ..ops.simulate import simulate_density
-from ..ops.scalespace import build_scale_space
+from ..ops.scalespace import build_scale_space, iter_lazy_octaves
 from ..ops.detect import detect_anchors
 from ..ops.orient import orient_anchors
 from ..ops.describe import describe_anchors
@@ -64,24 +64,38 @@ class DescriptorSet:
 def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
                   ) -> DescriptorSet:
     """Run the full anchor/orientation/descriptor chain on a density grid."""
-    with stage("scalespace"):
-        ss = build_scale_space(grid, cfg.scalespace, cfg.shape_bucket)
-        for o in ss.octaves:
-            o.log.block_until_ready()
     rows = []
     anchor_base = 0
-    for oi, octv in enumerate(ss.octaves):
+    origin = grid.origin
+    gen = iter_lazy_octaves(grid, cfg.scalespace, cfg.shape_bucket)
+    oi = -1
+    while True:
+        # Octaves stream one at a time so each one's volumes are freed
+        # before the next builds (peak memory = one octave's working set).
+        with stage("scalespace"):
+            nxt = next(gen, None)
+        if nxt is None:
+            break
+        origin, octv = nxt
+        oi += 1
         upsampled = octv.voxsp < grid.voxsp
         with stage("detect"):
-            anch = detect_anchors(octv.log, octv.real_shape, cfg.detect)
+            # LoG builds, detection runs, then the volume frees before the
+            # gradient field builds (peak memory = one field at a time).
+            log_vol = octv.log()
+            anch = detect_anchors(log_vol, octv.real_shape, cfg.detect)
+            anch.valid.block_until_ready()
+            del log_vol
         with stage("orient"):
-            ori = orient_anchors(octv.grad, anch, octv.real_shape, upsampled,
+            grad_vol = octv.grad()
+            ori = orient_anchors(grad_vol, anch, octv.real_shape, upsampled,
                                  cfg.orient)
             flat_valid_dev = ori.valid.reshape(-1)
             n_valid = int(jnp.sum(flat_valid_dev))
         K, M, S = ori.valid.shape
         if n_valid == 0:
             anchor_base += K
+            del octv, anch, ori, grad_vol
             continue
         cap = min(bucket(max(n_valid, 128), 128), K * M * S)
         if n_valid > cfg.describe.max_descriptors:
@@ -97,7 +111,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
         lane_ok_d = flat_valid_dev[order]
         with stage("describe"):
             descs, ok = describe_anchors(
-                octv.grad, coords_d, rfin_d, lane_ok_d, octv.real_shape,
+                grad_vol, coords_d, rfin_d, lane_ok_d, octv.real_shape,
                 upsampled, cfg.describe)
             ok = np.asarray(ok & lane_ok_d)
         keep = np.nonzero(ok)[0]
@@ -115,8 +129,8 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
         rows.append(dict(
             desc=descs[keep_d],        # stays on device
             coords=coords_i[keep].astype(np.float32),
-            map_coords=coords_i[keep] * octv.voxsp + ss.origin,
-            subv_coords=subvox.astype(np.float64) * octv.voxsp + ss.origin,
+            map_coords=coords_i[keep] * octv.voxsp + origin,
+            subv_coords=subvox.astype(np.float64) * octv.voxsp + origin,
             rfinal=rfin.astype(np.float32),
             octave=np.full(len(keep), oi, dtype=np.int32),
             anchor_id=(anchor_base + lane_anchor[keep]).astype(np.int32),
@@ -124,6 +138,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
             sec_bin=secs.astype(np.int32),
         ))
         anchor_base += K
+        del octv, anch, ori, grad_vol
 
     if not rows:
         z = np.zeros

@@ -93,7 +93,7 @@ def _compiled_describe(shape: Tuple[int, int, int],
         # Nearest-neighbor with .5 ties to the lower index (scipy RGI parity).
         ids = jnp.clip(jnp.ceil(pts - 0.5).astype(jnp.int32), 0,
                        jnp.asarray(shape) - 1)
-        g = grad[ids[:, 0], ids[:, 1], ids[:, 2]]                 # (P, 3)
+        g = grad[ids[:, 0], ids[:, 1], ids[:, 2]].astype(jnp.float32)  # (P, 3)
         magn = jnp.linalg.norm(g, axis=-1)
         dirs = jnp.where((magn > cutoff)[:, None],
                          g / jnp.maximum(magn, 1e-30)[:, None], g)

@@ -133,7 +133,7 @@ def _compiled_orient(shape: Tuple[int, int, int],
             jnp.all(coord + half + 1 <= rs - 1)
         safe = jnp.clip(coord, half, jnp.maximum(rs - half - 1, half))
         pts = safe[None, :] + jnp.asarray(offsets_np, dtype=jnp.int32)  # (P,3)
-        g = grad[pts[:, 0], pts[:, 1], pts[:, 2]]                       # (P,3)
+        g = grad[pts[:, 0], pts[:, 1], pts[:, 2]].astype(jnp.float32)   # (P,3)
         magn = jnp.linalg.norm(g, axis=-1)
         dirs = g / jnp.maximum(magn, 1e-30)[:, None]
         w = jnp.asarray(mask_np) * (magn >= cutoff)

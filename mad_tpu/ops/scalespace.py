@@ -63,9 +63,7 @@ def _compiled_build(shape: Tuple[int, int, int], sig_init: float,
     return jax.jit(build)
 
 
-def build_scale_space(grid: DensityGrid, cfg: ScaleSpaceConfig,
-                      shape_bucket: int = 32) -> ScaleSpace:
-    """Pad, bucket and filter a density grid into its octaves."""
+def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int):
     data = grid.device()
     origin = grid.origin.copy()
     if cfg.map_padding:
@@ -75,22 +73,123 @@ def build_scale_space(grid: DensityGrid, cfg: ScaleSpaceConfig,
     dims = tuple(bucket(s, shape_bucket) for s in real)
     if dims != real:
         data = jnp.pad(data, [(0, d - r) for d, r in zip(dims, real)])
-    fn = _compiled_build(dims, float(cfg.detect_sigma),
-                         float(cfg.presmooth_sigma), cfg.oct_mode,
-                         float(cfg.truncate))
-    outs = fn(data)
-    octaves = []
-    idx = 0
+    return data, origin, real, dims
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_log(shape: Tuple[int, int, int], sig_init: float,
+                  sig_presmooth: float, up: bool, truncate: float):
+    def build(vol):
+        if up:
+            vol = upsample2(vol)
+            if sig_presmooth:
+                vol = gaussian_filter3d(vol, sig_presmooth, truncate)
+        log_resp, _ = log_filter3d(vol, sig_init, truncate)
+        return log_resp
+
+    return jax.jit(build)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
+                   sig_presmooth: float, up: bool, truncate: float,
+                   dtype: str = "float32"):
+    """Gradient-of-Gaussian field. dtype='bfloat16' halves memory on very
+    large octaves (gradients only feed direction binning; bf16 directions
+    shift a negligible fraction of zone assignments)."""
+    out_dtype = jnp.dtype(dtype)
+
+    def build(vol):
+        if up:
+            vol = upsample2(vol)
+            if sig_presmooth:
+                vol = gaussian_filter3d(vol, sig_presmooth, truncate)
+        gauss = gaussian_filter3d(vol, sig_init, truncate)
+        if out_dtype == jnp.float32:
+            gx, gy, gz = jnp.gradient(gauss)
+            return jnp.stack([gx, gy, gz], axis=-1)
+        comps = []
+        for ax in range(3):
+            g = jnp.gradient(gauss, axis=ax)
+            comps.append(g.astype(out_dtype))  # cast early: smaller peak
+        return jnp.stack(comps, axis=-1)
+
+    return jax.jit(build)
+
+
+class LazyOctave:
+    """Octave whose LoG and gradient volumes build on demand as separate
+    programs: detection runs with only the LoG resident, orientation /
+    descriptors with only the gradient — halving peak memory on big maps
+    (the upsampled octave of a 350^3 map is ~690^3)."""
+
+    def __init__(self, data, dims, voxsp, real_shape, up, cfg):
+        self._data = data
+        self._args = (dims, float(cfg.detect_sigma),
+                      float(cfg.presmooth_sigma), up, float(cfg.truncate))
+        self.voxsp = voxsp
+        self.real_shape = real_shape
+
+    # Above this many octave voxels the f32 gradient field (12 B/voxel plus
+    # build temporaries) no longer fits a v5e's HBM comfortably; store it as
+    # bf16 instead. 250M voxels = 3 GB of f32 gradients.
+    BF16_VOXELS = 250_000_000
+
+    def log(self):
+        return _compiled_log(*self._args)(self._data)
+
+    def grad(self):
+        n_vox = 1
+        for s in self.real_shape:
+            n_vox *= s
+        dtype = "bfloat16" if n_vox > self.BF16_VOXELS else "float32"
+        return _compiled_grad(*self._args, dtype=dtype)(self._data)
+
+
+def iter_lazy_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,
+                      shape_bucket: int = 32):
+    """Yield (origin, LazyOctave) per octave."""
+    data, origin, real, dims = _prepare(grid, cfg, shape_bucket)
     if cfg.oct_mode in ("up", "both"):
-        log_resp, grad = outs[idx]
-        idx += 1
-        octaves.append(
-            Octave(voxsp=grid.voxsp / 2.0, log=log_resp, grad=grad,
-                   real_shape=tuple(2 * s - 1 for s in real))
-        )
+        yield origin, LazyOctave(data, dims, grid.voxsp / 2.0,
+                                 tuple(2 * s - 1 for s in real), True, cfg)
     if cfg.oct_mode in ("base", "both"):
-        log_resp, grad = outs[idx]
-        octaves.append(
-            Octave(voxsp=grid.voxsp, log=log_resp, grad=grad, real_shape=real)
-        )
+        yield origin, LazyOctave(data, dims, grid.voxsp, real, False, cfg)
+
+
+def iter_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,
+                 shape_bucket: int = 32):
+    """Yield (origin, Octave) one octave at a time.
+
+    Each octave compiles and runs as its own program so its working set
+    (upsampled grid + LoG terms + gradients, ~10x the base volume for the
+    upsampled octave) is freed before the next octave builds — required for
+    300^3+ maps on a 16 GB chip.
+    """
+    data, origin, real, dims = _prepare(grid, cfg, shape_bucket)
+    if cfg.oct_mode in ("up", "both"):
+        fn = _compiled_build(dims, float(cfg.detect_sigma),
+                             float(cfg.presmooth_sigma), "up",
+                             float(cfg.truncate))
+        log_resp, grad = fn(data)[0]
+        yield origin, Octave(voxsp=grid.voxsp / 2.0, log=log_resp, grad=grad,
+                             real_shape=tuple(2 * s - 1 for s in real))
+        del log_resp, grad
+    if cfg.oct_mode in ("base", "both"):
+        fn = _compiled_build(dims, float(cfg.detect_sigma),
+                             float(cfg.presmooth_sigma), "base",
+                             float(cfg.truncate))
+        log_resp, grad = fn(data)[0]
+        yield origin, Octave(voxsp=grid.voxsp, log=log_resp, grad=grad,
+                             real_shape=real)
+
+
+def build_scale_space(grid: DensityGrid, cfg: ScaleSpaceConfig,
+                      shape_bucket: int = 32) -> ScaleSpace:
+    """Pad, bucket and filter a density grid into its octaves (all octaves
+    resident at once; use ``iter_octaves`` for memory-bounded streaming)."""
+    octaves = []
+    origin = grid.origin
+    for origin, octv in iter_octaves(grid, cfg, shape_bucket):
+        octaves.append(octv)
     return ScaleSpace(octaves=octaves, origin=origin, name=grid.name)
