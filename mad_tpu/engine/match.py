@@ -167,16 +167,20 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     """hi = subunit, lo = map (reference naming, mad/MaD.py:414)."""
     dh = bucket(max(sub_set.n, 128), 128)
     dl = bucket(max(map_set.n, 128), 128)
-    hi = _pad_rows(sub_set.desc_norm, dh)
-    lo = _pad_rows(map_set.desc_norm, dl)
+
+    def pad_dev(arr, n):
+        a = jnp.asarray(arr)
+        if a.shape[0] == n:
+            return a
+        return jnp.zeros((n,) + a.shape[1:], a.dtype).at[: a.shape[0]].set(a)
+
+    hi = pad_dev(sub_set.desc_norm, dh)   # device-resident descriptors
+    lo = pad_dev(map_set.desc_norm, dl)
     sim_fn = _compiled_similarity(dh, dl, cfg.row_cap, cfg.max_pairs,
                                   float(cfg.cc_threshold))
     with stage("match.similarity"):
-        ccs, rows, cols, ok = sim_fn(jnp.asarray(hi), jnp.asarray(lo))
-        ccs = np.asarray(ccs)
-    rows = np.asarray(rows)
-    cols = np.asarray(cols)
-    ok = np.asarray(ok) & (rows < sub_set.n) & (cols < map_set.n)
+        ccs, rows, cols, ok = jax.device_get(sim_fn(hi, lo))
+    ok = ok & (rows < sub_set.n) & (cols < map_set.n)
     keep = np.nonzero(ok)[0]
     if len(keep) == 0:
         e = np.zeros(0)
@@ -219,7 +223,6 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     ).astype(np.int32), 0, np.asarray(grid_shape) - 1)
     with stage("match.field"):
         field = field_fn(jnp.asarray(lo_vox), jnp.asarray(lo_valid))
-        field.block_until_ready()
 
     approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256)
     with stage("match.repeat_approx"):
