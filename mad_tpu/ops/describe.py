@@ -77,6 +77,13 @@ def _compiled_describe(shape: Tuple[int, int, int],
     zone_ids = zone_ids_fn(eqsp)
     lattice_np = descriptor_lattice(radius, upsampled)
     regs = region_ids(radius, subregions)
+    # Group lattice points by subregion (static permutation; regions may be
+    # unequal for 27 subregions -> pad with -1 sentinels).
+    max_pts = int(np.max(np.bincount(regs, minlength=subregions)))
+    perm = np.full((subregions, max_pts), -1, dtype=np.int32)
+    for r in range(subregions):
+        pts = np.nonzero(regs == r)[0]
+        perm[r, : len(pts)] = pts
     rs = jnp.asarray(real_shape)
 
     def one_descriptor(grad, coord, rfinal, valid_in):
@@ -92,12 +99,15 @@ def _compiled_describe(shape: Tuple[int, int, int],
                          g / jnp.maximum(magn, 1e-30)[:, None], g)
         rotated = dirs @ rfinal.T
         zones = zone_ids(rotated)
-        # region * Z + zone scatter-add; low-magnitude samples excluded
-        # (mad/Descriptor.py:190) carry zero weight.
-        seg = jnp.asarray(regs) * subeqsp_size + zones
-        wgt = (magn >= zero_magn).astype(jnp.float32)
-        desc = jnp.zeros((subregions * subeqsp_size,), jnp.float32).at[
-            seg].add(wgt)
+        zones = jnp.where(magn < zero_magn, -1, zones)
+        zperm = jnp.where(jnp.asarray(perm) >= 0,
+                          zones[jnp.clip(jnp.asarray(perm), 0, None)], -1)
+
+        def one_zone(z):
+            return jnp.sum(zperm == z, axis=-1)                   # (R,)
+
+        counts = lax.map(one_zone, jnp.arange(subeqsp_size))       # (Z, R)
+        desc = jnp.moveaxis(counts, 0, -1).reshape(-1)             # (R*Z,)
         # Counts <= patch_size^3 fit int16 (reference stores int16 too,
         # mad/Descriptor.py:198); halves the device->host pull.
         return jnp.where(ok, desc, 0).astype(jnp.int16), ok

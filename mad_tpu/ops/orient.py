@@ -75,22 +75,13 @@ def zone_ids_fn(eqsp: EQSPSphere):
 
 def weighted_histogram(ids: jnp.ndarray, weights: jnp.ndarray, nzones: int
                        ) -> jnp.ndarray:
-    """counts[..., z] = sum over last axis of weights where ids == z.
+    """counts[..., z] = sum over last axis of weights where ids == z."""
 
-    Scatter-add formulation: measured 3.5x faster on TPU than the
-    per-zone masked-sum loop (which re-reads ids/weights once per zone)."""
-    if ids.ndim == 1:
-        return jnp.zeros((nzones,), weights.dtype).at[ids].add(weights)
-    return _wh_batched(ids, weights, nzones)
+    def one_zone(z):
+        return jnp.sum(jnp.where(ids == z, weights, 0.0), axis=-1)
 
-
-def _wh_batched(ids, weights, nzones):
-    flat_ids = ids.reshape(-1, ids.shape[-1])
-    flat_w = weights.reshape(-1, ids.shape[-1])
-    b = flat_ids.shape[0]
-    out = jnp.zeros((b, nzones), weights.dtype).at[
-        jnp.arange(b)[:, None], flat_ids].add(flat_w)
-    return out.reshape(ids.shape[:-1] + (nzones,))
+    counts = lax.map(one_zone, jnp.arange(nzones, dtype=ids.dtype))
+    return jnp.moveaxis(counts, 0, -1)
 
 
 def _quantize(counts: jnp.ndarray) -> jnp.ndarray:
