@@ -226,11 +226,11 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
 
     approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256)
     with stage("match.repeat_approx"):
-     rep = np.asarray(approx_fn(
-        field, jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
-        jnp.asarray(np.asarray(grid_origin, dtype=np.float32)),
-        np.float32(1.0 / voxsp), jnp.asarray(rot_p), jnp.asarray(hc_p),
-        jnp.asarray(lc_p)))[: len(rows)]
+        rep = np.asarray(approx_fn(
+            field, jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
+            jnp.asarray(np.asarray(grid_origin, dtype=np.float32)),
+            np.float32(1.0 / voxsp), jnp.asarray(rot_p), jnp.asarray(hc_p),
+            jnp.asarray(lc_p)))[: len(rows)]
 
     # Stage B: exact re-scoring of the top pairs (ordering-critical set).
     if cfg.exact_top > 0:
@@ -243,10 +243,11 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
         exact_fn = _compiled_exact_repeat(a_hi, a_lo, er.shape[0], 16,
                                           float(cfg.anchor_dist))
         with stage("match.repeat_exact"):
-         erep = np.asarray(exact_fn(
-            jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
-            jnp.asarray(lo_cloud_p), jnp.asarray(lo_valid),
-            jnp.asarray(er), jnp.asarray(eh), jnp.asarray(el)))[: len(top)]
+            erep = np.asarray(exact_fn(
+                jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
+                jnp.asarray(lo_cloud_p), jnp.asarray(lo_valid),
+                jnp.asarray(er), jnp.asarray(eh),
+                jnp.asarray(el)))[: len(top)]
         rep = rep.copy()
         rep[top] = erep
 
