@@ -9,6 +9,7 @@ complex_ranking.csv, anchor debug dumps).
 
 from __future__ import annotations
 
+import csv
 import os
 from typing import Dict, List, Optional
 
@@ -25,10 +26,18 @@ from .engine.docking import dock_structure, Solution
 from .engine import assemble as asm
 from . import cache as dsc_cache
 
-try:
-    import pandas as pd
-except ImportError:  # pragma: no cover
-    pd = None
+def _write_csv(path: str, rows, header) -> None:
+    """CSV artifacts via the stdlib (same cell layout as the reference's
+    pandas ``to_csv(index=False)``, without the optional dependency)."""
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        w.writerows(rows)
+
+
+def _read_csv(path: str) -> List[dict]:
+    with open(path, newline="") as fh:
+        return list(csv.DictReader(fh))
 
 
 def _decoy_transform(struct: Structure, t=(150.0, 0.0, 0.0), a=0.375,
@@ -49,9 +58,19 @@ def _decoy_transform(struct: Structure, t=(150.0, 0.0, 0.0), a=0.375,
 class MaD:
     """Drop-in session object mirroring the reference's user API."""
 
-    def __init__(self, workdir: str = ".", config: Optional[MadConfig] = None):
+    def __init__(self, workdir: str = ".", config: Optional[MadConfig] = None,
+                 mesh=None):
+        """mesh: None (single device), "auto" (one mesh over all local
+        devices), or a jax.sharding.Mesh. With a mesh, the describe and
+        docking kernels shard over it (volume SP + anchor/pair/candidate DP;
+        new capability — the reference is single-process NumPy, SURVEY §2).
+        """
         self.workdir = workdir
         self.config = config or MadConfig()
+        if mesh == "auto":
+            from .parallel.mesh import auto_mesh
+            mesh = auto_mesh()
+        self.mesh = mesh
         self.input_map: Optional[str] = None
         self.input_subunits: Dict[str, list] = {}
         self.input_ensembles: Dict[str, dict] = {}
@@ -64,6 +83,11 @@ class MaD:
         self.dmap: Optional[DensityGrid] = None
         self.map_dsc: Optional[DescriptorSet] = None
         self.dsc_dict: Dict[str, object] = {}
+        # Pre-refinement solution artifacts (pre_solutions/ +
+        # Solutions_filtered_*.csv, mad/MaD.py:891-921). The reference's
+        # call site is commented out (mad/MaD.py:404-405), so this defaults
+        # to off; set to True to emit them.
+        self.save_pre_solutions: bool = False
 
     # ------------------------------------------------------------------
     # inputs (parity mad/MaD.py:46-85)
@@ -153,7 +177,8 @@ class MaD:
                   "found in database")
         else:
             print(f"\nMaD> Processing map {self.map_name}")
-            self.map_dsc = describe_grid(self.dmap, cfg, name=self.map_name)
+            self.map_dsc = describe_grid(self.dmap, cfg, name=self.map_name,
+                                         mesh=self.mesh)
             dsc_cache.save_descriptors(self.map_dsc, path)
 
         # subunits
@@ -300,12 +325,11 @@ class MaD:
             rows.append([i + 1, m.ccc, m.sum_overlap, m.std_overlap,
                          m.max_overlap, [str(c) for c in m.components]])
         print("-" * len(header))
-        if rows and pd is not None:
-            pd.DataFrame(rows).to_csv(
+        if rows:
+            _write_csv(
                 os.path.join(self.out_folder, "complex_ranking.csv"),
-                index=False,
-                header=["#", "CC", "Sum(O)", "Std(O)", "Max(O)",
-                        "Composition"])
+                rows,
+                ["#", "CC", "Sum(O)", "Std(O)", "Max(O)", "Composition"])
 
     def _print_overlap_table(self, overlap, key) -> None:
         print(f"MaD> Pairwise overlaps between solutions of {key}:\n")
@@ -325,25 +349,25 @@ class MaD:
         rankings = {}
         for ek, ensemble in self.processed_ensembles.items():
             frames = sorted(ensemble.keys())
-            rows = []
+            per_frame: Dict[str, List[dict]] = {}
             for fk in frames:
-                csv = os.path.join(self.out_folder,
-                                   f"Solutions_refined_{fk}.csv")
-                if not os.path.exists(csv):
+                path = os.path.join(self.out_folder,
+                                    f"Solutions_refined_{fk}.csv")
+                if not os.path.exists(path):
                     continue
-                df = pd.read_csv(csv)
-                df["StructID"] = fk
-                rows.append(df)
-            if not rows:
+                per_frame[fk] = _read_csv(path)
+            if not per_frame:
                 print(f"MaD> No solutions for ensemble {ek}")
                 continue
-            all_sols = pd.concat(rows)
-            ranking = []
-            for fk in frames:
-                sel = all_sols[all_sols["StructID"] == fk]
-                ranking.append([
-                    fk, sel["Repeatability"].mean(), sel["Weight"].mean(),
-                    sel["mCC"].mean(), sel["RWmCC"].mean()])
+
+            def mean(fk, col):
+                vals = [float(r[col]) for r in per_frame.get(fk, [])]
+                return sum(vals) / len(vals) if vals else float("nan")
+
+            ranking = [
+                [fk, mean(fk, "Repeatability"), mean(fk, "Weight"),
+                 mean(fk, "mCC"), mean(fk, "RWmCC")]
+                for fk in frames]
             rankings[ek] = ranking
             names = ["Repeatability", "Weight", "Cross-corr.", "MaD score"]
             print(f"MaD> Ranking for ensemble {ek}: ")
@@ -455,7 +479,7 @@ class MaD:
         struct = parse_pdb(pdb_path)
         grid = simulate_density(struct, self.resolution, self.voxsp,
                                 shape_bucket=self.config.shape_bucket)
-        return describe_grid(grid, self.config, name=name)
+        return describe_grid(grid, self.config, name=name, mesh=self.mesh)
 
     def _dock_one(self, pdb_path: str, n_copies: int, k: str
                   ) -> List[Solution]:
@@ -466,12 +490,47 @@ class MaD:
         print(f"MaD> Matching descriptors ({self.map_name} vs. {k}) "
               f"(cc = {cfg.match.cc_threshold:.2f})...")
         struct = parse_pdb(pdb_path)
+        on_filtered = None
+        if self.save_pre_solutions:
+            def on_filtered(cands):
+                self._save_solutions_filtered(cands, struct, k)
         sols = dock_structure(self.map_dsc, ds, struct, self.dmap,
-                              self.resolution, cfg, n_copies=n_copies)
+                              self.resolution, cfg, n_copies=n_copies,
+                              on_filtered=on_filtered, mesh=self.mesh)
         self.solutions[k] = sols
         files = self._save_solutions_refined(sols, k)
         self.solutions[k + "_files"] = files
         return sols
+
+    def _save_solutions_filtered(self, candidates, struct: Structure,
+                                 sub_key: str) -> List[str]:
+        """Pre-refinement solutions: pre_solutions/presol_*.pdb, oriented
+        anchor dumps and Solutions_filtered_<key>.csv
+        (parity mad/MaD.py:891-921)."""
+        sol_path = os.path.join(self.out_folder, "pre_solutions")
+        os.makedirs(sol_path, exist_ok=True)
+        header = "|   # |   dCC  | Repeat |   W |    R*W   |"
+        sep = "-" * len(header)
+        print("\n" + sep + "\n" + header + "\n" + sep)
+        rows, files = [], []
+        x0 = struct.coords
+        for idx, c in enumerate(candidates):
+            fname = os.path.join(sol_path, f"presol_{sub_key}_{idx}.pdb")
+            coords = (x0 - c.hi_coord) @ c.rot.T + c.lo_coord
+            write_pdb(struct.with_coords(coords), fname)
+            files.append(fname)
+            self._save_oriented_anchors(c.members, sol_path,
+                                        f"{sub_key}_{idx}")
+            print("| %3i |  %5.3f |  %5.2f | %3i |  %7.2f |"
+                  % (idx, c.cc, c.repeat, c.weight, c.score))
+            rows.append([idx, c.cc, c.repeat, c.weight, c.score])
+        print(sep + "\n")
+        if rows:
+            _write_csv(
+                os.path.join(self.out_folder,
+                             f"Solutions_filtered_{sub_key}.csv"),
+                rows, ["ID", "dCC", "Repeatability", "Weight", "RW"])
+        return files
 
     def _save_solutions_refined(self, sols: List[Solution], sub_key: str
                                 ) -> List[str]:
@@ -498,12 +557,11 @@ class MaD:
                   % (idx, s.repeat, s.weight, s.ccc, s.score))
             rows.append([idx, s.repeat, s.weight, s.ccc, s.score])
         print(sep + "\n")
-        if rows and pd is not None:
-            pd.DataFrame(rows).to_csv(
+        if rows:
+            _write_csv(
                 os.path.join(self.out_folder,
                              f"Solutions_refined_{sub_key}.csv"),
-                index=False,
-                header=["ID", "Repeatability", "Weight", "mCC", "RWmCC"])
+                rows, ["ID", "Repeatability", "Weight", "mCC", "RWmCC"])
         return files
 
     def _save_oriented_anchors(self, members, anchor_path, identifier):

@@ -34,6 +34,19 @@ except Exception:  # pragma: no cover - older jax without the option
     pass
 
 
+def set_nan_checks(enabled: bool = True) -> None:
+    """Opt-in numerical sanitizer (SURVEY §5): when enabled, every jitted
+    stage re-runs un-jitted on the first NaN/inf and raises at the exact
+    primitive that produced it. Costs recompiles + checks on each call, so
+    it is debug-only — also reachable via ``MAD_TPU_NANCHECK=1``."""
+    jax.config.update("jax_debug_nans", bool(enabled))
+    jax.config.update("jax_debug_infs", bool(enabled))
+
+
+if _os.environ.get("MAD_TPU_NANCHECK", "") not in ("", "0"):
+    set_nan_checks(True)
+
+
 @dataclasses.dataclass(frozen=True)
 class ScaleSpaceConfig:
     """Scale-space construction (reference: mad/MapSpace.py:13,69-189)."""

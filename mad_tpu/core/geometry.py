@@ -43,14 +43,17 @@ def rotation_to_pole(v: jnp.ndarray) -> jnp.ndarray:
 
     Mirrors the reference's main-bin alignment (mad/Orientator.py:197-203):
     angle = arccos(v . z), axis = normalize(v x z), Euler-Rodrigues matrix.
-    For v already at +/-z the cross product vanishes; we fall back to the
-    x-axis so the +z case yields identity and the -z case a half turn.
+    For v at -z the cross product vanishes and the half-turn axis is
+    arbitrary; the reference's shipped center table stores the south cap at
+    (-7.3e-6, 0, -1) so its cross product resolves numerically to +y — we
+    use the same axis so canonical frames (and therefore secondary-bin
+    sets) match. For +z the angle is 0 and the axis is irrelevant.
     """
     z = jnp.array([0.0, 0.0, 1.0], dtype=v.dtype)
     angle = jnp.arccos(jnp.clip(v[..., 2], -1.0, 1.0))
     ax = jnp.cross(v, jnp.broadcast_to(z, v.shape))
     n = jnp.linalg.norm(ax, axis=-1, keepdims=True)
-    fallback = jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0], dtype=v.dtype), v.shape)
+    fallback = jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0], dtype=v.dtype), v.shape)
     ax = jnp.where(n > 1e-12, ax / jnp.where(n > 1e-12, n, 1.0), fallback)
     return axis_angle_mat(ax, angle)
 

@@ -252,28 +252,121 @@ def enumerate_homomultimer(n_solutions: int, n_copies: int,
     return top[order], s[order], sd[order], mx2[order]
 
 
-def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray):
-    """Cartesian product of per-subunit candidate lists (mad/MaD.py:799-805).
-
-    groups maps subunit key -> list of global solution indices (or of
-    subcomplex indices). Scored by overlaps over all index pairs of the
-    tuple, summed (reference uses the full meshgrid including the diagonal,
-    which is zero).
-    """
-    lists = [np.asarray(v) for v in groups.values()]
-    tuples = np.array(list(product(*[range(len(v)) for v in lists])))
-    gather = np.stack([lists[k][tuples[:, k]] for k in range(len(lists))],
-                      axis=1)
+def _hetero_scores(gather: np.ndarray, overlap: np.ndarray):
+    """[sum, std, max] per tuple of global indices; the reference computes
+    them over the full meshgrid including the zero diagonal
+    (mad/MaD.py:800-805)."""
     sym = overlap + overlap.T
     n = gather.shape[1]
     pair_idx = [(i, j) for i in range(n) for j in range(n)]
     a = gather[:, [p[0] for p in pair_idx]]
     b = gather[:, [p[1] for p in pair_idx]]
     vals = sym[a, b] * 0.5
-    s = vals.sum(axis=1)
-    sd = vals.std(axis=1)
-    mx = vals.max(axis=1)
-    order = np.argsort(s, kind="stable")
+    return vals.sum(axis=1), vals.std(axis=1), vals.max(axis=1)
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_hetero_head(sizes: tuple, max_n: int, nsol: int, head: int,
+                          chunk: int):
+    """Head of the cartesian-product ranking ON DEVICE: tuple r decodes by
+    mixed radix (no index matrices cross the host boundary), each tuple
+    reduces to its summed pairwise overlap, chunked top-k keeps the
+    smallest-sum head."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    g_count = len(sizes)
+    m = 1
+    for s in sizes:
+        m *= s
+    strides = []
+    acc = 1
+    for s in reversed(sizes):
+        strides.append(acc)
+        acc *= s
+    strides = list(reversed(strides))           # stride_g = prod(sizes[g+1:])
+    pair_idx = list(combinations(range(g_count), 2))
+    k_local = min(head, chunk)
+    n_chunks = (m + chunk - 1) // chunk
+
+    def run(sym, lists):
+        def one_chunk(r0):
+            r = r0 + jnp.arange(chunk, dtype=jnp.int32)
+            valid = r < m
+            glob = jnp.stack(
+                [lists[g, (r // strides[g]) % sizes[g]]
+                 for g in range(g_count)], axis=1)             # (chunk, G)
+            if pair_idx:
+                i0 = jnp.asarray([p[0] for p in pair_idx])
+                i1 = jnp.asarray([p[1] for p in pair_idx])
+                s = jnp.sum(sym[glob[:, i0], glob[:, i1]], axis=1)
+            else:
+                s = jnp.zeros(chunk, jnp.float32)
+            s = jnp.where(valid, s, jnp.inf)
+            neg, i = lax.top_k(-s, k_local)
+            return -neg, r[i]
+        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        sums, idxs = lax.map(one_chunk, starts)
+        flat_s = sums.reshape(-1)
+        flat_r = idxs.reshape(-1)
+        neg, i = lax.top_k(-flat_s, min(head, flat_s.shape[0]))
+        return flat_r[i], -neg
+
+    return jax.jit(run)
+
+
+def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
+                        max_combinations: int = 50_000_000, head: int = 256):
+    """Cartesian product of per-subunit candidate lists (mad/MaD.py:799-805).
+
+    groups maps subunit key -> list of global solution indices (or of
+    subcomplex indices). Tuples rank by summed pairwise overlap ascending
+    (reference: sorted(key=itemgetter(1)), mad/MaD.py:809); model building
+    only consumes the head of that ranking (mad/MaD.py:826-830), so beyond
+    a small product size only the ``head`` best tuples are materialized:
+    tuple indices decode and score on device, the full cartesian product
+    never exists in host memory. When the product exceeds
+    ``max_combinations`` the largest groups trim to their best-ranked
+    entries (lists arrive ranking-sorted)."""
+    lists = [np.asarray(v) for v in groups.values()]
+    sizes = [len(v) for v in lists]
+    while int(np.prod(sizes)) > max_combinations and max(sizes) > 1:
+        g = int(np.argmax(sizes))
+        sizes[g] -= 1
+    lists = [lv[:s] for lv, s in zip(lists, sizes)]
+    m = int(np.prod(sizes))
+
+    if m <= 4 * head:
+        tuples = np.array(list(product(*[range(s) for s in sizes])),
+                          dtype=np.int64).reshape(m, len(sizes))
+        gather = np.stack([lists[k][tuples[:, k]]
+                           for k in range(len(lists))], axis=1)
+        s, sd, mx = _hetero_scores(gather, overlap)
+        order = np.argsort(s, kind="stable")
+        return gather[order], s[order], sd[order], mx[order]
+
+    import jax.numpy as jnp
+    max_n = max(sizes)
+    lists_p = np.zeros((len(sizes), max_n), dtype=np.int32)
+    for g, lv in enumerate(lists):
+        lists_p[g, : len(lv)] = lv
+    sym = (overlap + overlap.T).astype(np.float32)
+    fn = _compiled_hetero_head(tuple(sizes), max_n, overlap.shape[0], head,
+                               chunk=1 << 14)
+    ridx, _sums = fn(jnp.asarray(sym), jnp.asarray(lists_p))
+    ridx = np.asarray(ridx, dtype=np.int64)
+    # decode head tuples on host (mixed radix), re-score for [sum, std, max]
+    decoded = np.empty((len(ridx), len(sizes)), dtype=np.int64)
+    rem = ridx.copy()
+    for g in range(len(sizes) - 1, -1, -1):
+        decoded[:, g] = rem % sizes[g]
+        rem //= sizes[g]
+    gather = np.stack([lists[k][decoded[:, k]]
+                       for k in range(len(lists))], axis=1)
+    s, sd, mx = _hetero_scores(gather, overlap)
+    # stable (sum, cartesian-rank) order matches the reference's stable sort
+    order = np.lexsort((ridx, s))
     return gather[order], s[order], sd[order], mx[order]
 
 

@@ -41,13 +41,19 @@ class Solution:
 def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
                    sub_struct: Structure, dmap: DensityGrid,
                    resolution: float, cfg: MadConfig, n_copies: int = 1,
-                   verbose: bool = True, match_cache: str = None
-                   ) -> List[Solution]:
+                   verbose: bool = True, match_cache: str = None,
+                   on_filtered=None, mesh=None) -> List[Solution]:
     """Dock one subunit into the map; returns scored unique solutions.
 
     match_cache: optional h5 path; when set, the match table is loaded from
     (or saved to) it — a working version of the reference's commented-out
     matching cache (mad/MaD.py:386-399).
+    on_filtered: optional callback receiving the filtered pre-refinement
+    Candidate list (the reference's pre_solutions hook, mad/MaD.py:404-405,
+    891-921).
+    mesh: optional jax.sharding.Mesh; matching shards the similarity rows
+    and pair axes, refinement shards the candidate axis (same kernels as
+    the single-device path, results equal up to similarity ties).
     """
     import os as _os
     from .. import cache as _cache
@@ -60,9 +66,11 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
             print(f"MaD> Loaded matched descriptor pairs from {match_cache}")
     else:
         with stage("match"):
+            # Clustering consumes the top n_samples pairs by repeatability;
+            # their ordering must be exact, not approximate (min_exact).
             table = match_descriptors(
                 map_set, sub_set, dmap.shape, dmap.origin, dmap.voxsp,
-                cfg.match)
+                cfg.match, min_exact=n_samples, mesh=mesh)
         if match_cache:
             _cache.save_matching(table, match_cache)
     if verbose:
@@ -80,6 +88,8 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
         print(f"MaD> {len(candidates)} filtered pose candidates")
     if not candidates:
         return []
+    if on_filtered is not None:
+        on_filtered(candidates)
 
     # Build start coordinates for every candidate and refine them together.
     x0 = sub_struct.coords
@@ -87,7 +97,7 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
         (x0 - c.hi_coord) @ c.rot.T + c.lo_coord for c in candidates
     ]).astype(np.float32)
     with stage("refine"):
-        res = refine_candidates(dmap, starts, cfg.refine)
+        res = refine_candidates(dmap, starts, cfg.refine, mesh=mesh)
 
     # Re-scored repeatability after refinement (mad/MaD.py:580-590):
     # one vmapped Kabsch over all candidates, then host NN queries.

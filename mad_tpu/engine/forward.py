@@ -35,9 +35,6 @@ def build_forward(shape: Tuple[int, int, int], cfg: MadConfig,
     sscfg, dcfg, ocfg, dscfg = (cfg.scalespace, cfg.detect, cfg.orient,
                                 cfg.describe)
     radius = ocfg.patch_size // 2
-    eqsp_o = ori.get_eqsp(ocfg.eqsp_size)
-    zone_fn = ori.zone_ids_fn(eqsp_o)
-
     detect_fn = det._compiled_detect(
         shape, shape, float(dcfg.threshold_abs), int(dcfg.exclude_border),
         float(dcfg.max_offset), int(dcfg.newton_iters), max_anchors)

@@ -18,14 +18,20 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.config import MatchConfig, bucket
+from ..parallel.mesh import batch_bucket, mesh_axis
 from ..utils.profiling import stage
 from .pipeline import DescriptorSet
 
@@ -97,9 +103,10 @@ def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
     return jax.jit(build)
 
 
-@functools.lru_cache(maxsize=16)
-def _compiled_approx_repeat(shape: Tuple[int, int, int], a_hi: int,
-                            n_pairs: int, chunk: int):
+def _approx_repeat_body(shape: Tuple[int, int, int], chunk: int):
+    """Per-pair approximate repeatability over whatever pair slab arrives
+    (the full axis single-device; one shard of it under shard_map)."""
+
     def run(field, hi_cloud, hi_valid, origin, inv_voxsp, rot, hi_coord,
             lo_coord):
         denom = jnp.maximum(jnp.sum(hi_valid), 1)
@@ -117,6 +124,7 @@ def _compiled_approx_repeat(shape: Tuple[int, int, int], a_hi: int,
             cnt = jnp.sum(hit & inb & hi_valid[None], axis=-1)
             return 100.0 * cnt / denom
 
+        n_pairs = rot.shape[0]
         n_chunks = n_pairs // chunk
         out = lax.map(one_chunk, (
             rot.reshape(n_chunks, chunk, 3, 3),
@@ -124,12 +132,27 @@ def _compiled_approx_repeat(shape: Tuple[int, int, int], a_hi: int,
             lo_coord.reshape(n_chunks, chunk, 3)))
         return out.reshape(n_pairs)
 
-    return jax.jit(run)
+    return run
 
 
 @functools.lru_cache(maxsize=16)
-def _compiled_exact_repeat(a_hi: int, a_lo: int, n_pairs: int, chunk: int,
-                           thresh: float):
+def _compiled_approx_repeat(shape: Tuple[int, int, int], a_hi: int,
+                            n_pairs: int, chunk: int,
+                            mesh: Optional[Mesh] = None):
+    run = _approx_repeat_body(shape, chunk)
+    if mesh is None:
+        return jax.jit(run)
+    # Multi-chip: the SAME body runs per device on its pair shard (DP over
+    # the embarrassingly parallel pair axis; field/cloud replicated).
+    ax = mesh_axis(mesh)
+    sm = shard_map(run, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(),
+                             P(ax, None, None), P(ax, None), P(ax, None)),
+                   out_specs=P(ax))
+    return jax.jit(sm)
+
+
+def _exact_repeat_body(chunk: int, thresh: float):
     def run(hi_cloud, hi_valid, lo_cloud, lo_valid, rot, hi_coord, lo_coord):
         denom = jnp.maximum(jnp.sum(hi_valid), 1)
         lo_sq = jnp.sum(lo_cloud * lo_cloud, axis=-1)
@@ -145,6 +168,7 @@ def _compiled_exact_repeat(a_hi: int, a_lo: int, n_pairs: int, chunk: int,
             cnt = jnp.sum((dmin < thresh * thresh) & hi_valid[None], axis=-1)
             return 100.0 * cnt / denom
 
+        n_pairs = rot.shape[0]
         n_chunks = n_pairs // chunk
         out = lax.map(one_chunk, (
             rot.reshape(n_chunks, chunk, 3, 3),
@@ -152,7 +176,21 @@ def _compiled_exact_repeat(a_hi: int, a_lo: int, n_pairs: int, chunk: int,
             lo_coord.reshape(n_chunks, chunk, 3)))
         return out.reshape(n_pairs)
 
-    return jax.jit(run)
+    return run
+
+
+@functools.lru_cache(maxsize=16)
+def _compiled_exact_repeat(a_hi: int, a_lo: int, n_pairs: int, chunk: int,
+                           thresh: float, mesh: Optional[Mesh] = None):
+    run = _exact_repeat_body(chunk, thresh)
+    if mesh is None:
+        return jax.jit(run)
+    ax = mesh_axis(mesh)
+    sm = shard_map(run, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(),
+                             P(ax, None, None), P(ax, None), P(ax, None)),
+                   out_specs=P(ax))
+    return jax.jit(sm)
 
 
 def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
@@ -163,9 +201,22 @@ def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
 
 def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
                       grid_shape, grid_origin, voxsp: float,
-                      cfg: MatchConfig) -> MatchTable:
-    """hi = subunit, lo = map (reference naming, mad/MaD.py:414)."""
-    dh = bucket(max(sub_set.n, 128), 128)
+                      cfg: MatchConfig, min_exact: int = 0,
+                      mesh: Optional[Mesh] = None) -> MatchTable:
+    """hi = subunit, lo = map (reference naming, mad/MaD.py:414).
+
+    min_exact: clustering consumes the top pairs strictly by repeatability
+    (mad/MaD.py:480), so the caller passes how many leading pairs its
+    downstream ordering depends on; at least that many get exact NN
+    re-scoring (raising cfg.exact_top when needed) so the consumed prefix is
+    never approximate.
+
+    mesh: optional device mesh. The similarity matmul runs with the subunit
+    rows sharded across devices (GSPMD partitions the SAME compiled kernel;
+    per-row top_k is shard-local, the global top-k reduces over ICI) and the
+    repeatability kernels run shard_map'ed over the pair axis. Results equal
+    the single-device path (up to ties between equal similarities)."""
+    dh = batch_bucket(max(sub_set.n, 128), 128, mesh)
     dl = bucket(max(map_set.n, 128), 128)
 
     def pad_dev(arr, n):
@@ -176,6 +227,10 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
 
     hi = pad_dev(sub_set.desc_norm, dh)   # device-resident descriptors
     lo = pad_dev(map_set.desc_norm, dl)
+    if mesh is not None:
+        ax = mesh_axis(mesh)
+        hi = jax.device_put(hi, NamedSharding(mesh, P(ax, None)))
+        lo = jax.device_put(lo, NamedSharding(mesh, P()))
     sim_fn = _compiled_similarity(dh, dl, cfg.row_cap, cfg.max_pairs,
                                   float(cfg.cc_threshold))
     with stage("match.similarity"):
@@ -201,8 +256,16 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     hi_coord = sub_set.subv_coords[rows]
     lo_coord = map_set.subv_coords[cols]
 
+    def put(arr, *spec):
+        a = jnp.asarray(arr)
+        if mesh is None:
+            return a
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    ax = mesh_axis(mesh) if mesh is not None else None
+
     # Stage A: approximate repeatability for every pair via dilated field.
-    p = bucket(len(rows), 256)
+    p = batch_bucket(len(rows), 256, mesh)
     a_hi = bucket(hi_cloud.shape[0], 256)
     a_lo = bucket(lo_cloud.shape[0], 256)
     hi_cloud_p = _pad_rows(hi_cloud.astype(np.float32), a_hi)
@@ -224,30 +287,35 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     with stage("match.field"):
         field = field_fn(jnp.asarray(lo_vox), jnp.asarray(lo_valid))
 
-    approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256)
+    approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256,
+                                        mesh)
     with stage("match.repeat_approx"):
         rep = np.asarray(approx_fn(
-            field, jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
-            jnp.asarray(np.asarray(grid_origin, dtype=np.float32)),
-            np.float32(1.0 / voxsp), jnp.asarray(rot_p), jnp.asarray(hc_p),
-            jnp.asarray(lc_p)))[: len(rows)]
+            put(field), put(hi_cloud_p), put(hi_valid),
+            put(np.asarray(grid_origin, dtype=np.float32)),
+            jnp.float32(1.0 / voxsp), put(rot_p, ax, None, None),
+            put(hc_p, ax, None), put(lc_p, ax, None)))[: len(rows)]
 
     # Stage B: exact re-scoring of the top pairs (ordering-critical set).
-    if cfg.exact_top > 0:
-        n_exact = min(bucket(cfg.exact_top, 64), bucket(len(rows), 64))
+    if cfg.exact_top > 0 or min_exact > 0:
+        # Selection count is mesh-independent (mesh only pads the kernel
+        # inputs) so a mesh run rescopes the same set as a single device.
+        want = max(cfg.exact_top, min_exact)
+        n_exact = min(bucket(want, 64), bucket(len(rows), 64))
         top = np.argsort(-rep, kind="stable")[:n_exact]
-        er = _pad_rows(rot[top].astype(np.float32), bucket(len(top), 64))
+        pe = batch_bucket(len(top), 64, mesh)
+        er = _pad_rows(rot[top].astype(np.float32), pe)
         er[len(top):] = np.eye(3)
-        eh = _pad_rows(hi_coord[top].astype(np.float32), bucket(len(top), 64))
-        el = _pad_rows(lo_coord[top].astype(np.float32), bucket(len(top), 64))
+        eh = _pad_rows(hi_coord[top].astype(np.float32), pe)
+        el = _pad_rows(lo_coord[top].astype(np.float32), pe)
         exact_fn = _compiled_exact_repeat(a_hi, a_lo, er.shape[0], 16,
-                                          float(cfg.anchor_dist))
+                                          float(cfg.anchor_dist), mesh)
         with stage("match.repeat_exact"):
             erep = np.asarray(exact_fn(
-                jnp.asarray(hi_cloud_p), jnp.asarray(hi_valid),
-                jnp.asarray(lo_cloud_p), jnp.asarray(lo_valid),
-                jnp.asarray(er), jnp.asarray(eh),
-                jnp.asarray(el)))[: len(top)]
+                put(hi_cloud_p), put(hi_valid),
+                put(lo_cloud_p), put(lo_valid),
+                put(er, ax, None, None), put(eh, ax, None),
+                put(el, ax, None)))[: len(top)]
         rep = rep.copy()
         rep[top] = erep
 

@@ -61,13 +61,28 @@ class DescriptorSet:
         return np.unique(c, axis=0)
 
 
-def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
-                  ) -> DescriptorSet:
-    """Run the full anchor/orientation/descriptor chain on a density grid."""
+def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
+                  mesh=None) -> DescriptorSet:
+    """Run the full anchor/orientation/descriptor chain on a density grid.
+
+    mesh: optional device mesh (multi-chip). Layout: the scale-space filter
+    programs run on the spatially sharded volume (SP via GSPMD halos); the
+    volume is re-replicated (one ICI all-gather per octave) for the
+    gather-heavy stages; anchors and oriented lanes shard across devices
+    (DP via shard_map of the same kernels the single-device path uses)."""
+    import dataclasses as _dc
+    from ..parallel.mesh import batch_bucket, mesh_size, replicated
+
+    det_cfg = cfg.detect
+    if mesh is not None:
+        det_cfg = _dc.replace(det_cfg, max_anchors=batch_bucket(
+            det_cfg.max_anchors, 128, mesh))
+    cap_step = 128 * mesh_size(mesh)
+
     rows = []
     anchor_base = 0
     origin = grid.origin
-    gen = iter_lazy_octaves(grid, cfg.scalespace, cfg.shape_bucket)
+    gen = iter_lazy_octaves(grid, cfg.scalespace, cfg.shape_bucket, mesh)
     oi = -1
     while True:
         # Octaves stream one at a time so each one's volumes are freed
@@ -83,13 +98,16 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
             # LoG builds, detection runs, then the volume frees before the
             # gradient field builds (peak memory = one field at a time).
             log_vol = octv.log()
-            anch = detect_anchors(log_vol, octv.real_shape, cfg.detect)
+            if mesh is not None:
+                # localization gathers want the full volume local
+                log_vol = jax.device_put(log_vol, replicated(mesh))
+            anch = detect_anchors(log_vol, octv.real_shape, det_cfg)
             anch.valid.block_until_ready()
             del log_vol
         with stage("orient"):
             grad_vol = octv.grad()
             ori = orient_anchors(grad_vol, anch, octv.real_shape, upsampled,
-                                 cfg.orient)
+                                 cfg.orient, mesh=mesh)
             flat_valid_dev = ori.valid.reshape(-1)
             n_valid = int(jnp.sum(flat_valid_dev))
         K, M, S = ori.valid.shape
@@ -97,9 +115,11 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
             anchor_base += K
             del octv, anch, ori, grad_vol
             continue
-        cap = min(bucket(max(n_valid, 128), 128), K * M * S)
+        cap = min(bucket(max(n_valid, 128), cap_step), K * M * S)
         if n_valid > cfg.describe.max_descriptors:
-            cap = cfg.describe.max_descriptors  # overflow: keep first lanes
+            # overflow: keep first lanes (capacity rounded to the mesh)
+            cap = min(bucket(cfg.describe.max_descriptors, cap_step),
+                      K * M * S)
         # Device-side lane compaction (valid lanes first, anchor-major
         # order preserved within the valid set).
         order = jnp.argsort(~flat_valid_dev, stable=True)[:cap]
@@ -112,9 +132,12 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = ""
         with stage("describe"):
             descs, ok = describe_anchors(
                 grad_vol, coords_d, rfin_d, lane_ok_d, octv.real_shape,
-                upsampled, cfg.describe)
+                upsampled, cfg.describe, mesh=mesh)
             ok = np.asarray(ok & lane_ok_d)
         keep = np.nonzero(ok)[0]
+        # Mesh capacities round up to whole shards; clip so a mesh run keeps
+        # exactly the single-device overflow set.
+        keep = keep[: cfg.describe.max_descriptors]
         keep_d = jnp.asarray(keep)
         # Single consolidated device->host pull (per-array syncs are
         # latency-bound on tunneled hosts).

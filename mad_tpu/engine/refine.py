@@ -30,10 +30,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.config import RefineConfig, bucket
 from ..core.geometry import axis_angle_mat, unit
 from ..core.grid import DensityGrid
+from ..parallel.mesh import batch_bucket, mesh_axis
 from ..ops.interp import pack_corners, trilinear, trilinear_packed
 
 
@@ -52,9 +58,14 @@ class RefineResult:
 @functools.lru_cache(maxsize=16)
 def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
                      n_steps: int, max_step: float, min_step: float,
-                     batch_size: int):
+                     batch_size: int, mesh: "Mesh" = None):
     def refine(map_data, y0, atom_valid, origin, voxsp):
-        """y0: (C, N, 3) start coords; atom_valid: (N,) padding mask."""
+        """y0: (C, N, 3) start coords; atom_valid: (N,) padding mask.
+
+        C is whatever candidate slab arrives: the full axis single-device,
+        one shard of it under shard_map (each device refines its candidates
+        independently; the collective while_loop exit is per-device)."""
+        c = y0.shape[0]
         # Map gradient computed on device (parity: np.gradient of the raw
         # processed map, mad/structure_utils.py:80).
         gx, gy, gz = jnp.gradient(map_data)
@@ -140,14 +151,29 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
         coords = (y0 - center) @ rot + center + trans[:, None]
         return rot, trans, coords, frozen, counts, failed
 
-    return jax.jit(refine)
+    if mesh is None:
+        return jax.jit(refine)
+    # Multi-chip: the SAME body runs per device on its candidate shard (DP
+    # over independent pose-refinement scans; map replicated).
+    ax = mesh_axis(mesh)
+    sm = shard_map(refine, mesh=mesh,
+                   in_specs=(P(), P(ax, None, None), P(), P(), P()),
+                   out_specs=(P(ax, None, None), P(ax, None),
+                              P(ax, None, None), P(ax), P(ax), P(ax)),
+                   # the while_loop carry mixes replicated inits with
+                   # shard-varying updates; skip the static VMA check
+                   check_vma=False)
+    return jax.jit(sm)
 
 
 def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
-                      cfg: RefineConfig) -> RefineResult:
-    """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms."""
+                      cfg: RefineConfig, mesh: "Mesh" = None) -> RefineResult:
+    """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms.
+
+    mesh: optional device mesh; candidates shard across devices (each pose
+    refinement is an independent scan), map replicated."""
     c_real, n_real = start_coords.shape[:2]
-    c = bucket(max(c_real, 4), 4)
+    c = batch_bucket(max(c_real, 4), 4, mesh)
     n = bucket(n_real, 256)
     y0 = np.zeros((c, n, 3), dtype=np.float32)
     y0[:c_real, :n_real] = start_coords
@@ -158,9 +184,15 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
     atom_valid[:n_real] = True
     fn = _compiled_refine(tuple(dmap.shape), c, n, cfg.n_steps,
                           float(cfg.max_step), float(cfg.min_step),
-                          cfg.batch_size)
+                          cfg.batch_size, mesh)
+    y0_d = jnp.asarray(y0)
+    map_d = dmap.device()
+    if mesh is not None:
+        ax = mesh_axis(mesh)
+        y0_d = jax.device_put(y0_d, NamedSharding(mesh, P(ax, None, None)))
+        map_d = jax.device_put(map_d, NamedSharding(mesh, P()))
     rot, trans, coords, frozen, steps, failed = fn(
-        dmap.device(), jnp.asarray(y0), jnp.asarray(atom_valid),
+        map_d, y0_d, jnp.asarray(atom_valid),
         jnp.asarray(dmap.origin, dtype=jnp.float32),
         np.float32(dmap.voxsp))
     return RefineResult(

@@ -26,10 +26,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.config import DescribeConfig
 from ..core.eqsp import get_eqsp
-from .orient import zone_ids_fn
+from ..parallel.mesh import mesh_axis, mesh_size
+from .orient import zone_assign_fn
 
 
 def descriptor_lattice(radius: int, upsampled: bool) -> np.ndarray:
@@ -72,9 +78,10 @@ def region_ids(radius: int, subregions: int) -> np.ndarray:
 def _compiled_describe(shape: Tuple[int, int, int],
                        real_shape: Tuple[int, int, int], upsampled: bool,
                        radius: int, subeqsp_size: int, subregions: int,
-                       cutoff: float, zero_magn: float, chunk: int):
+                       cutoff: float, zero_magn: float, chunk: int,
+                       mesh: Mesh = None):
     eqsp = get_eqsp(subeqsp_size)
-    zone_ids = zone_ids_fn(eqsp)
+    zone_ids = zone_assign_fn(eqsp)
     lattice_np = descriptor_lattice(radius, upsampled)
     regs = region_ids(radius, subregions)
     # Group lattice points by subregion (static permutation; regions may be
@@ -130,12 +137,21 @@ def _compiled_describe(shape: Tuple[int, int, int],
         return (descs.reshape(d, subregions * subeqsp_size),
                 ok.reshape(d))
 
-    return jax.jit(describe)
+    if mesh is None:
+        return jax.jit(describe)
+    # Multi-chip: the SAME body runs per device on its lane shard (DP over
+    # oriented-anchor lanes; the gradient volume replicated).
+    ax = mesh_axis(mesh)
+    sm = shard_map(describe, mesh=mesh,
+                   in_specs=(P(), P(ax, None), P(ax, None, None), P(ax)),
+                   out_specs=(P(ax, None), P(ax)))
+    return jax.jit(sm)
 
 
 def describe_anchors(grad: jnp.ndarray, coords: jnp.ndarray,
                      rfinals: jnp.ndarray, valid: jnp.ndarray, real_shape,
-                     upsampled: bool, cfg: DescribeConfig, chunk: int = 128):
+                     upsampled: bool, cfg: DescribeConfig, chunk: int = 128,
+                     mesh: Mesh = None):
     """Descriptors for compacted oriented-anchor lanes of one octave.
 
     coords: (D, 3) int32 anchor voxel coords; rfinals: (D, 3, 3).
@@ -143,9 +159,16 @@ def describe_anchors(grad: jnp.ndarray, coords: jnp.ndarray,
     """
     radius = (cfg.patch_size - cfg.patch_size % 2) // 2
     d = coords.shape[0]
-    assert d % chunk == 0, (d, chunk)
+    assert d % (chunk * mesh_size(mesh)) == 0, (d, chunk, mesh_size(mesh))
     fn = _compiled_describe(tuple(grad.shape[:3]), tuple(real_shape),
                             bool(upsampled), radius, cfg.subeqsp_size,
                             cfg.subregions, float(cfg.cutoff_magn),
-                            float(cfg.zero_magn), chunk)
+                            float(cfg.zero_magn), chunk, mesh)
+    if mesh is not None:
+        ax = mesh_axis(mesh)
+        grad = jax.device_put(grad, NamedSharding(mesh, P()))
+        coords = jax.device_put(coords, NamedSharding(mesh, P(ax, None)))
+        rfinals = jax.device_put(rfinals,
+                                 NamedSharding(mesh, P(ax, None, None)))
+        valid = jax.device_put(valid, NamedSharding(mesh, P(ax)))
     return fn(grad, coords, rfinals, valid)

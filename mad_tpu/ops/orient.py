@@ -31,10 +31,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.config import OrientConfig
+from ..parallel.mesh import mesh_axis, mesh_size
 from ..core.eqsp import EQSPSphere, get_eqsp
-from ..core.geometry import axis_angle_mat, rotation_about_z, rotation_to_pole, spherical_angles
+from ..core.geometry import axis_angle_mat, rotation_about_z, spherical_angles
 from .detect import Anchors
 
 TWO_PI = 2.0 * np.pi
@@ -84,6 +90,62 @@ def weighted_histogram(ids: jnp.ndarray, weights: jnp.ndarray, nzones: int
     return jnp.moveaxis(counts, 0, -1)
 
 
+def ref_zone_bounds(eqsp: EQSPSphere) -> np.ndarray:
+    """Zone bounds [theta_min, phi_min, theta_max, phi_max] rounded to four
+    decimals — the precision of the reference's shipped tables
+    (mad/eqsp/sphere_{16,112}.txt), which its strict-inequality masks
+    compare against. Boundary-exact directions therefore bin exactly as the
+    reference bins them (e.g. theta == 0 joins a belt's LAST zone through
+    the +2pi shift; directions exactly on an interior boundary match no
+    zone)."""
+    return np.round(eqsp.bounds, 4).astype(np.float32)
+
+
+def zone_hist_fn(eqsp: EQSPSphere):
+    """Jittable weighted zone histogram with the reference's mask semantics
+    (mad/Orientator.py:323-335): per zone, strict bounds on theta (or
+    theta + 2pi, for zones whose table range exceeds 2pi) and phi."""
+    b = jnp.asarray(ref_zone_bounds(eqsp))
+
+    def hist(dirs, w):
+        theta, phi = spherical_angles(dirs)
+        sth = theta + TWO_PI
+
+        def one_zone(area):
+            th_ok = (theta > area[0]) & (theta < area[2])
+            sth_ok = (sth > area[0]) & (sth < area[2])
+            ph_ok = (phi > area[1]) & (phi < area[3])
+            return jnp.sum(
+                jnp.where((th_ok | sth_ok) & ph_ok, w, 0.0), axis=-1)
+
+        counts = lax.map(one_zone, b)
+        return jnp.moveaxis(counts, 0, -1)
+
+    return hist
+
+
+def zone_assign_fn(eqsp: EQSPSphere):
+    """Jittable per-direction zone assignment with the reference
+    *descriptor* semantics (mad/Descriptor.py:173-190): strict 4-decimal
+    boundary masks, the LAST matching zone wins (the reference overwrites a
+    zone array in zone order), and unmatched directions default to zone 0
+    (the array is zero-initialized)."""
+    b = jnp.asarray(ref_zone_bounds(eqsp))
+    zidx = jnp.arange(b.shape[0], dtype=jnp.int32)
+
+    def assign(dirs):
+        theta, phi = spherical_angles(dirs)
+        sth = theta + TWO_PI
+        th_ok = (theta[..., None] > b[:, 0]) & (theta[..., None] < b[:, 2])
+        sth_ok = (sth[..., None] > b[:, 0]) & (sth[..., None] < b[:, 2])
+        ph_ok = (phi[..., None] > b[:, 1]) & (phi[..., None] < b[:, 3])
+        mask = (th_ok | sth_ok) & ph_ok
+        zid = jnp.max(jnp.where(mask, zidx, -1), axis=-1)
+        return jnp.maximum(zid, 0).astype(jnp.int32)
+
+    return assign
+
+
 def _quantize(counts: jnp.ndarray) -> jnp.ndarray:
     """int32(count / max * 50), max-safe (mad/Orientator.py:340)."""
     m = jnp.max(counts, axis=-1, keepdims=True)
@@ -95,6 +157,29 @@ def _first_k_flagged(flag: jnp.ndarray, k: int):
     order = jnp.argsort(~flag, stable=True)
     n = jnp.sum(flag)
     return order[:k], n
+
+
+def _ref_rotation_to_pole(theta: float, phi: float) -> np.ndarray:
+    """Float64 host rotation taking the (theta, phi) zone center to +z,
+    computed exactly as the reference does (angle = arccos(c.z), axis =
+    normalize(c x z), Euler-Rodrigues; mad/Orientator.py:197-203,
+    mad/math_utils.py:15-27)."""
+    c = np.array([np.sin(phi) * np.cos(theta),
+                  np.sin(phi) * np.sin(theta), np.cos(phi)])
+    angle = np.arccos(np.clip(c[2], -1.0, 1.0))
+    ax = np.cross(c, [0.0, 0.0, 1.0])
+    n = np.linalg.norm(ax)
+    ax = ax / n if n > 0 else np.array([0.0, 1.0, 0.0])
+    a = np.cos(angle / 2.0)
+    b, cc, d = -ax * np.sin(angle / 2.0)
+    return np.array([
+        [a * a + b * b - cc * cc - d * d, 2 * (b * cc + a * d),
+         2 * (b * d - a * cc)],
+        [2 * (b * cc - a * d), a * a + cc * cc - b * b - d * d,
+         2 * (cc * d + a * b)],
+        [2 * (b * d + a * cc), 2 * (cc * d - a * b),
+         a * a + d * d - b * b - cc * cc],
+    ])
 
 
 def _sphere_mask(radius: int, gw_sig: float) -> np.ndarray:
@@ -113,16 +198,29 @@ def _sphere_mask(radius: int, gw_sig: float) -> np.ndarray:
 def _compiled_orient(shape: Tuple[int, int, int],
                      real_shape: Tuple[int, int, int], stride: int,
                      radius: int, eqsp_size: int, max_main: int, max_sec: int,
-                     cutoff: float, gw_sig: float, chunk: int):
+                     cutoff: float, gw_sig: float, chunk: int,
+                     mesh: Mesh = None):
     eqsp = get_eqsp(eqsp_size)
-    zone_ids = zone_ids_fn(eqsp)
+    hist = zone_hist_fn(eqsp)
     mask_np = _sphere_mask(radius, gw_sig).reshape(-1)
     offs = np.arange(-radius, radius + 1) * stride
     ox, oy, oz = np.meshgrid(offs, offs, offs, indexing="ij")
     offsets_np = np.stack([ox, oy, oz], axis=-1).reshape(-1, 3)  # (P, 3)
-    c_centers = jnp.asarray(eqsp.c_centers, dtype=jnp.float32)
-    p_theta = jnp.asarray(eqsp.p_centers[:, 0], dtype=jnp.float32)
-    belt_first = jnp.asarray(eqsp.belt_first_theta, dtype=jnp.float32)
+    # Main-bin rotations precompute on host in float64 with the reference's
+    # exact recipe (mad/Orientator.py:197-203 + mad/math_utils.py:15-27) on
+    # the 4-decimal polar centers its tables ship: e.g. the south cap
+    # center is (-7.3e-6, 0, -1), so its rotate-to-pole is the +y half turn
+    # through angle 3.1416 (not pi) — reproducing even the tiny off-pole
+    # terms that decide nearest-neighbor tie-breaks in the descriptor
+    # gather downstream.
+    p4 = np.round(eqsp.p_centers, 4)
+    th4, ph4 = p4[:, 0], p4[:, 1]
+    rot_to_pole = np.stack([_ref_rotation_to_pole(t, f)
+                            for t, f in zip(th4, ph4)])
+    rot_to_pole_t = jnp.asarray(rot_to_pole, dtype=jnp.float32)
+    p_theta = jnp.asarray(th4, dtype=jnp.float32)
+    belt_first = jnp.asarray(np.round(eqsp.belt_first_theta, 4),
+                             dtype=jnp.float32)
     rs = jnp.asarray(real_shape)
     half = radius * stride
 
@@ -138,17 +236,15 @@ def _compiled_orient(shape: Tuple[int, int, int],
         dirs = g / jnp.maximum(magn, 1e-30)[:, None]
         w = jnp.asarray(mask_np) * (magn >= cutoff)
 
-        ids0 = zone_ids(dirs)
-        q0 = _quantize(weighted_histogram(ids0, w, eqsp_size))
+        q0 = _quantize(hist(dirs, w))
         flag0 = q0 > jnp.max(q0) * 0.8
         main_idx, n_main = _first_k_flagged(flag0, max_main)
         ok = ok & (n_main >= 1) & (n_main <= max_main) & (jnp.max(q0) > 0)
 
         def per_main(mbin):
-            Rm = rotation_to_pole(c_centers[mbin])
+            Rm = rot_to_pole_t[mbin]
             Rm = jnp.where(mbin == 0, jnp.eye(3, dtype=Rm.dtype), Rm)
-            ids1 = zone_ids(dirs @ Rm.T)
-            q1 = _quantize(weighted_histogram(ids1, w, eqsp_size))
+            q1 = _quantize(hist(dirs @ Rm.T, w))
             not_pole = q1[1:-1]
             m1 = jnp.max(not_pole)
             nq = (not_pole.astype(jnp.float32)
@@ -188,21 +284,39 @@ def _compiled_orient(shape: Tuple[int, int, int],
                 rfin.reshape(k, max_main, max_sec, 3, 3),
                 ok.reshape(k, max_main, max_sec))
 
-    return jax.jit(orient)
+    if mesh is None:
+        return jax.jit(orient)
+    # Multi-chip: the SAME body runs per device on its anchor shard (DP over
+    # anchors; the gradient volume replicated so patch gathers stay local).
+    ax = mesh_axis(mesh)
+    sm = shard_map(orient, mesh=mesh,
+                   in_specs=(P(), P(ax, None), P(ax)),
+                   out_specs=(P(ax, None), P(ax, None, None),
+                              P(ax, None, None, None, None),
+                              P(ax, None, None)))
+    return jax.jit(sm)
 
 
 def orient_anchors(grad: jnp.ndarray, anchors: Anchors, real_shape,
-                   upsampled: bool, cfg: OrientConfig, chunk: int = 128
-                   ) -> OrientedAnchors:
+                   upsampled: bool, cfg: OrientConfig, chunk: int = 128,
+                   mesh: Mesh = None) -> OrientedAnchors:
     """Assign canonical frames to all anchors of one octave."""
     radius = (cfg.patch_size - cfg.patch_size % 2) // 2
     stride = 2 if upsampled else 1
     k = anchors.capacity
-    assert k % chunk == 0, (k, chunk)
+    assert k % (chunk * mesh_size(mesh)) == 0, (k, chunk, mesh_size(mesh))
     fn = _compiled_orient(tuple(grad.shape[:3]), tuple(real_shape), stride,
                           radius, cfg.eqsp_size, cfg.max_main, cfg.max_sec,
-                          float(cfg.cutoff_magn), float(cfg.gw_sig), chunk)
-    mains, secs, rfin, ok = fn(grad, anchors.coords, anchors.valid)
+                          float(cfg.cutoff_magn), float(cfg.gw_sig), chunk,
+                          mesh)
+    coords_d, valid_d = anchors.coords, anchors.valid
+    if mesh is not None:
+        ax = mesh_axis(mesh)
+        grad = jax.device_put(grad, NamedSharding(mesh, P()))
+        coords_d = jax.device_put(coords_d,
+                                  NamedSharding(mesh, P(ax, None)))
+        valid_d = jax.device_put(valid_d, NamedSharding(mesh, P(ax)))
+    mains, secs, rfin, ok = fn(grad, coords_d, valid_d)
     return OrientedAnchors(
         anchor_idx=jnp.arange(k, dtype=jnp.int32),
         main_bin=mains, sec_bin=secs, rfinal=rfin, valid=ok,

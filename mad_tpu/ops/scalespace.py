@@ -63,7 +63,8 @@ def _compiled_build(shape: Tuple[int, int, int], sig_init: float,
     return jax.jit(build)
 
 
-def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int):
+def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int,
+             mesh=None):
     data = grid.device()
     origin = grid.origin.copy()
     if cfg.map_padding:
@@ -71,8 +72,25 @@ def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int):
         origin = origin - cfg.map_padding * grid.voxsp
     real = tuple(data.shape)
     dims = tuple(bucket(s, shape_bucket) for s in real)
+    if mesh is not None:
+        # The explicit device_put below needs dim 0 divisible by the mesh
+        # (GSPMD pads internally only for shardings introduced inside jit).
+        from ..parallel.mesh import mesh_size
+        n = mesh_size(mesh)
+        d0 = dims[0]
+        while d0 % n:
+            d0 += shape_bucket
+        dims = (d0,) + dims[1:]
     if dims != real:
         data = jnp.pad(data, [(0, d - r) for d, r in zip(dims, real)])
+    if mesh is not None:
+        # SP: shard the volume along dim 0; XLA's SPMD partitioner inserts
+        # halo exchanges for the separable filters (parallel/volume.py
+        # proves equality on a virtual mesh).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import mesh_axis
+        data = jax.device_put(
+            data, NamedSharding(mesh, P(mesh_axis(mesh), None, None)))
     return data, origin, real, dims
 
 
@@ -147,9 +165,10 @@ class LazyOctave:
 
 
 def iter_lazy_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,
-                      shape_bucket: int = 32):
-    """Yield (origin, LazyOctave) per octave."""
-    data, origin, real, dims = _prepare(grid, cfg, shape_bucket)
+                      shape_bucket: int = 32, mesh=None):
+    """Yield (origin, LazyOctave) per octave. With a mesh, the volume is
+    spatially sharded for the filter programs (GSPMD)."""
+    data, origin, real, dims = _prepare(grid, cfg, shape_bucket, mesh)
     if cfg.oct_mode in ("up", "both"):
         yield origin, LazyOctave(data, dims, grid.voxsp / 2.0,
                                  tuple(2 * s - 1 for s in real), True, cfg)

@@ -23,6 +23,32 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "x") -> Mesh:
     return Mesh(np.asarray(devs[:n]), (axis,))
 
 
+def auto_mesh(axis: str = "x") -> Optional[Mesh]:
+    """Mesh over all local devices; None when only one device exists (the
+    single-device kernels need no collective plumbing)."""
+    devs = jax.devices()
+    if len(devs) < 2:
+        return None
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def mesh_axis(mesh: Mesh) -> str:
+    return mesh.axis_names[0]
+
+
+def mesh_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None:
+        return 1
+    return int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+
+def batch_bucket(n: int, base: int, mesh: Optional[Mesh]) -> int:
+    """Round a batch size up so every device gets whole ``base``-sized
+    chunks: the smallest multiple of base * mesh_size >= n."""
+    step = base * mesh_size(mesh)
+    return ((int(n) + step - 1) // step) * step
+
+
 def volume_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
     """Shard a 3D volume along its first spatial axis."""
     return NamedSharding(mesh, P(axis, None, None))

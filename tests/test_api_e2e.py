@@ -34,6 +34,7 @@ def session(system):
     mad = MaD(workdir=str(root))
     mad.add_map(map_path, resolution=8.0)
     mad.add_subunit(sub_path, n_copies=2)
+    mad.save_pre_solutions = True
     mad.run(transform_subunits=True)
     return mad
 
@@ -71,6 +72,32 @@ def test_full_session(system, session):
     total = sum(c.n_atoms for c in copies)
     assert m1.n_atoms == total
     assert os.path.exists(os.path.join(out, "complex_ranking.csv"))
+
+
+def test_pre_solutions_artifacts(system, session):
+    # save_pre_solutions emits the pre-refinement artifact set
+    # (parity mad/MaD.py:891-921; call site commented out at :404-405).
+    import csv
+    mad = session
+    out = mad.out_folder
+    pre = os.path.join(out, "pre_solutions")
+    assert os.path.isdir(pre)
+    presols = [f for f in os.listdir(pre) if f.startswith("presol_subunit_")]
+    assert presols
+    csv_path = os.path.join(out, "Solutions_filtered_subunit.csv")
+    assert os.path.exists(csv_path)
+    with open(csv_path, newline="") as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == len(presols)
+    assert set(rows[0]) == {"ID", "dCC", "Repeatability", "Weight", "RW"}
+    # each pre-solution is a full copy of the subunit
+    sub = parse_pdb(os.path.join(out, "initial_files", "subunit.pdb"))
+    p0 = parse_pdb(os.path.join(pre, presols[0]))
+    assert p0.n_atoms == sub.n_atoms
+    # score column is weight * repeat (mad/MaD.py:547)
+    for r in rows:
+        assert float(r["RW"]) == pytest.approx(
+            float(r["Weight"]) * float(r["Repeatability"]), rel=1e-4)
 
 
 def test_descriptor_cache_roundtrip(system):

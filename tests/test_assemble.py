@@ -64,3 +64,47 @@ def test_score_models(solutions, overlap):
     # Models are CC-scored at 4 A against the (8 A) map by design
     # (mad/MaD.py:737), so the correct assembly scores high but not ~1.
     assert models[0].ccc > 0.8
+
+
+def test_heteromer_device_head_matches_bruteforce():
+    """Large-product heteromer path (device top-k head) returns the same
+    leading ranking as the exhaustive host enumeration."""
+    rng = np.random.default_rng(11)
+    n_sol = 4 * 8
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.2, k=1)
+    groups = {f"s{g}": list(range(g * 8, (g + 1) * 8)) for g in range(4)}
+    # force the device path by shrinking its trigger, exhaustive reference
+    t_dev, s_dev, sd_dev, mx_dev = asm.enumerate_heteromer(
+        groups, ov, head=64)
+    assert len(t_dev) == 64 < 8 ** 4
+    t_full = np.array(
+        [[groups[f"s{g}"][i] for g, i in enumerate(tup)]
+         for tup in __import__("itertools").product(*[range(8)] * 4)])
+    s_full, sd_full, mx_full = asm._hetero_scores(t_full, ov)
+    order = np.argsort(s_full, kind="stable")
+    np.testing.assert_array_equal(t_dev, t_full[order][:64])
+    np.testing.assert_allclose(s_dev, s_full[order][:64], atol=1e-5)
+    np.testing.assert_allclose(mx_dev, mx_full[order][:64], atol=1e-6)
+
+
+def test_heteromer_scales_without_host_product():
+    """~1M-tuple cartesian product enumerates via the device head without
+    materializing tuples on host (VERDICT round-1 item 6)."""
+    import time
+    rng = np.random.default_rng(12)
+    n_per, n_groups = 16, 5                     # 16^5 = 1,048,576 tuples
+    n_sol = n_per * n_groups
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.2, k=1)
+    groups = {f"s{g}": list(range(g * n_per, (g + 1) * n_per))
+              for g in range(n_groups)}
+    t0 = time.time()
+    tuples, sums, stds, maxs = asm.enumerate_heteromer(groups, ov)
+    dt = time.time() - t0
+    assert len(tuples) == 256                   # head only
+    assert tuples.shape[1] == n_groups
+    # ascending by sum, and each row has one solution per group
+    assert np.all(np.diff(sums) >= -1e-9)
+    for g in range(n_groups):
+        assert np.all((tuples[:, g] >= g * n_per)
+                      & (tuples[:, g] < (g + 1) * n_per))
+    assert dt < 60, dt

@@ -57,6 +57,55 @@ def test_threshold_filters_pairs(identical_sets):
     assert table.n == 0
 
 
+def _exact_repeat_np(table, i, anchor_dist):
+    """Independent brute-force NN repeatability for returned pair i."""
+    pts = (table.hi_cloud - table.hi_coord[i]) @ table.rot[i].T \
+        + table.lo_coord[i]
+    d2 = ((pts[:, None, :] - table.lo_cloud[None, :, :]) ** 2).sum(-1)
+    hits = np.sqrt(d2.min(axis=1)) < anchor_dist
+    return 100.0 * np.count_nonzero(hits) / table.hi_cloud.shape[0]
+
+
+def _random_rot(rng, n):
+    q, _ = np.linalg.qr(rng.normal(size=(n, 3, 3)))
+    det = np.linalg.det(q)
+    q[:, :, 0] *= np.sign(det)[:, None]
+    return q.astype(np.float32)
+
+
+def test_min_exact_makes_consumed_ordering_exact():
+    """Clustering consumes top n_samples*n_copies pairs by repeatability;
+    with min_exact covering them, every consumed repeat is the exact NN
+    score, not the voxel-dilated approximation (VERDICT round-1 item 4)."""
+    rng = np.random.default_rng(7)
+    n = 32
+    desc = rng.integers(0, 50, size=(n, 1024))       # random vecs: cc ~ 0.75
+    mcoords = rng.normal(size=(n, 3)) * 12 + 60
+    scoords = rng.normal(size=(n, 3)) * 12 + 60
+    map_set = _make_set(desc, mcoords, rfinal=_random_rot(rng, n), name="map")
+    sub_set = _make_set(rng.integers(0, 50, size=(n, 1024)), scoords,
+                        rfinal=_random_rot(rng, n), name="sub")
+    cfg = MatchConfig(cc_threshold=0.6, max_pairs=4096, exact_top=64)
+    args = (map_set, sub_set, (64, 64, 64), (0.0, 0.0, 0.0), 2.0, cfg)
+
+    # Hole: with only the default exact_top re-scored, pairs beyond it keep
+    # approximate scores that disagree with the exact NN computation.
+    t_hole = match_descriptors(*args)
+    assert t_hole.n > 256
+    exact = np.array([_exact_repeat_np(t_hole, i, cfg.anchor_dist)
+                      for i in range(t_hole.n)])
+    assert np.any(np.abs(t_hole.repeat - exact) > 1e-6), \
+        "seed produced no approx-vs-exact divergence; test is vacuous"
+
+    # Fix: min_exact covering every pair makes all scores exact.
+    t_fixed = match_descriptors(*args, min_exact=t_hole.n)
+    exact_f = np.array([_exact_repeat_np(t_fixed, i, cfg.anchor_dist)
+                        for i in range(t_fixed.n)])
+    np.testing.assert_allclose(t_fixed.repeat, exact_f, atol=1e-4)
+    # and the table is sorted by those exact scores
+    assert np.all(np.diff(t_fixed.repeat) <= 1e-9)
+
+
 def test_translated_cloud_repeatability():
     # Subunit = map translated by t; descriptors identical, coords shifted.
     rng = np.random.default_rng(1)

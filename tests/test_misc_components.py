@@ -123,3 +123,24 @@ def test_functional_repeatability():
     b = mkset([[1, 0, 0], [10.5, 0, 0], [100, 0, 0]])
     rep = get_repeatability(a, b, radii=(2.0,))
     assert rep[2.0] == pytest.approx(100.0 * 2 / 3)
+
+
+def test_nan_check_mode():
+    """Opt-in sanitizer (SURVEY section 5): jitted stages raise at the
+    producing primitive instead of propagating NaN silently."""
+    import jax
+    import jax.numpy as jnp
+    from mad_tpu.core.config import set_nan_checks
+
+    @jax.jit
+    def bad(x):
+        return jnp.log(x - 1.0)    # NaN for x < 1
+
+    set_nan_checks(True)
+    try:
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(bad(jnp.float32(0.5)))
+    finally:
+        set_nan_checks(False)
+    # disabled again: NaN propagates silently (default pipeline behavior)
+    assert np.isnan(np.asarray(bad(jnp.float32(0.5))))

@@ -63,33 +63,48 @@ def refmod():
 
 
 @pytest.fixture(scope="module")
-def tiny_pdb(tmp_path_factory):
+def make_tiny(tmp_path_factory):
+    """Factory for synthetic test proteins (parity sweeps over seeds)."""
     from mad_tpu.testing import make_protein
     from mad_tpu.core.structure import write_pdb
-    p = make_protein(n_res=40, seed=11, n_segments=2)
-    path = str(tmp_path_factory.mktemp("ref") / "tiny.pdb")
-    write_pdb(p, path)
-    return path, p
+
+    cache = {}
+
+    def mk(seed=11, n_res=40):
+        key = (seed, n_res)
+        if key not in cache:
+            p = make_protein(n_res=n_res, seed=seed, n_segments=2)
+            path = str(tmp_path_factory.mktemp(f"ref{seed}_{n_res}")
+                       / "tiny.pdb")
+            write_pdb(p, path)
+            cache[key] = (path, p)
+        return cache[key]
+
+    return mk
 
 
-def test_simulate_parity(refmod, tiny_pdb):
-    """structure_to_density: same grid, same origin (mad/PDB.py:131-208)."""
-    path, p = tiny_pdb
+@pytest.mark.parametrize("seed,res", [(11, 8.0), (23, 8.0), (37, 12.0)])
+def test_simulate_parity(refmod, make_tiny, seed, res):
+    """structure_to_density: same grid, same origin (mad/PDB.py:131-208),
+    swept over seeds and resolutions."""
+    path, p = make_tiny(seed)
     from mad_tpu.ops.simulate import simulate_density
     ref_pdb = refmod["PDB"](path)
-    ref_grid, xi, yi, zi = ref_pdb.structure_to_density(8.0, 2.0)
-    mine = simulate_density(p, 8.0, 2.0, shape_bucket=1)
+    ref_grid, xi, yi, zi = ref_pdb.structure_to_density(res, 2.0)
+    mine = simulate_density(p, res, 2.0, shape_bucket=1)
     np.testing.assert_allclose(mine.origin, [xi, yi, zi], atol=1e-6)
     sx, sy, sz = ref_grid.shape
     np.testing.assert_allclose(mine.data[:sx, :sy, :sz], ref_grid, atol=2e-4)
     assert abs(mine.data[:sx, :sy, :sz] - ref_grid).mean() < 1e-5
 
 
-def test_anchor_parity_from_sit(refmod, tiny_pdb, tmp_path):
+@pytest.mark.parametrize("seed,res", [(11, 8.0), (23, 8.0), (11, 12.0)])
+def test_anchor_parity_from_sit(refmod, make_tiny, tmp_path, seed, res):
     """Full scale-space + detection: every reference anchor has a mad_tpu
     anchor within 1 voxel (statistical parity: subvoxel paths differ by
-    design — spline vs Catmull-Rom upsampling, SURVEY.md section 7)."""
-    path, p = tiny_pdb
+    design — spline vs Catmull-Rom upsampling, SURVEY.md section 7);
+    swept over seeds and resolutions."""
+    path, p = make_tiny(seed)
     from mad_tpu.ops.simulate import simulate_density
     from mad_tpu.core.grid import write_sit
     from mad_tpu.ops.scalespace import build_scale_space
@@ -97,7 +112,7 @@ def test_anchor_parity_from_sit(refmod, tiny_pdb, tmp_path):
     from mad_tpu.core.config import MadConfig
     cfg = MadConfig()
 
-    g = simulate_density(p, 8.0, 2.0, shape_bucket=1)
+    g = simulate_density(p, res, 2.0, shape_bucket=1)
     sit = str(tmp_path / "tiny.sit")
     write_sit(g, sit)
 
@@ -127,11 +142,21 @@ def test_anchor_parity_from_sit(refmod, tiny_pdb, tmp_path):
         f"only {matched}/{len(ref_anchors)} reference anchors matched"
 
 
-def test_orient_describe_parity_identical_inputs(refmod, tiny_pdb):
+@pytest.mark.parametrize("seed,patch,n_res", [
+    (11, 16, 40),          # defaults
+    (23, 16, 80),          # seed sweep (bigger protein: enough anchors for
+                           # the statistical gate to be meaningful)
+    (11, 12, 40),          # beta-galactosidase config (run_MaD.py:56-60)
+    (11, 24, 80),          # GluK2 config (run_MaD.py:49-54); bigger protein
+                           # so patch-radius-12 anchors stay interior
+])
+def test_orient_describe_parity_identical_inputs(refmod, make_tiny, seed,
+                                                 patch, n_res):
     """Feed the reference Orientator/Descriptor the same gradient field and
     anchors as the mad_tpu kernels; (main, sec) lane sets and descriptor
-    vectors must agree (mad/Orientator.py:68-110, mad/Descriptor.py:106-202)."""
-    path, p = tiny_pdb
+    vectors must agree (mad/Orientator.py:68-110, mad/Descriptor.py:106-202).
+    Swept over seeds and the reference's documented patch_size configs."""
+    path, p = make_tiny(seed, n_res=n_res)
     from scipy.interpolate import RegularGridInterpolator as RGI
     from mad_tpu.ops.simulate import simulate_density
     from mad_tpu.ops.scalespace import build_scale_space
@@ -141,7 +166,7 @@ def test_orient_describe_parity_identical_inputs(refmod, tiny_pdb):
     from mad_tpu.core.config import MadConfig
     import jax.numpy as jnp
 
-    cfg = MadConfig()
+    cfg = MadConfig.from_run_kwargs(patch_size=patch)
     g = simulate_density(p, 8.0, 2.0, shape_bucket=1)
     ss = build_scale_space(g, cfg.scalespace, shape_bucket=1)
     octv = ss.octaves[1]                      # base octave, stride 1
@@ -156,8 +181,8 @@ def test_orient_describe_parity_identical_inputs(refmod, tiny_pdb):
     cwd = os.getcwd()
     os.chdir(REF)
     try:
-        ori = refmod["Orientator"](ori_radius=16)
-        dsc = refmod["Descriptor"](dsc_radius=16)
+        ori = refmod["Orientator"](ori_radius=patch)
+        dsc = refmod["Descriptor"](dsc_radius=patch)
     finally:
         os.chdir(cwd)
     dfs = []
@@ -220,6 +245,7 @@ def test_orient_describe_parity_identical_inputs(refmod, tiny_pdb):
     # borderline candidates)
     common = set(ref_lanes) & set(my_lanes)
     union = set(ref_lanes) | set(my_lanes)
+    assert union, "no lanes survived on either side"
     assert len(common) / len(union) > 0.9, \
         (len(common), len(ref_lanes), len(my_lanes))
 
