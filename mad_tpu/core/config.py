@@ -113,6 +113,13 @@ class FilterConfig:
     rmsd_cloud: float = 10.0       # cloud-RMSD threshold for a new cluster
     min_repeat: float = 5.0        # floor of the repeatability cut
     repeat_frac: float = 0.3       # keep clusters with repeat >= frac * best
+    # Rescue rounds (new capability; the reference stops after one pass):
+    # after refinement, pairs whose map anchor is not explained by any
+    # solution get a fresh n_samples clustering budget under the SAME
+    # weight/repeat gates (repeat gate relative to the full table's best).
+    # Recovers marginal copies whose pairs rank below the first-round
+    # cutoff; 0 = reference behavior.
+    rescue_rounds: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -43,9 +43,15 @@ class Candidate:
 
 
 def filter_pairs(table: MatchTable, hi_bins: np.ndarray, lo_bins: np.ndarray,
-                 cfg: FilterConfig, n_samples: int) -> List[Candidate]:
+                 cfg: FilterConfig, n_samples: int,
+                 best_repeat: float = None) -> List[Candidate]:
     """hi_bins/lo_bins: main orientation bin per match row (for the
-    oriented-anchor debug artifacts, parity mad/MaD.py:498,517-520)."""
+    oriented-anchor debug artifacts, parity mad/MaD.py:498,517-520).
+
+    best_repeat: reference value for the adaptive repeatability gate
+    max(min_repeat, repeat_frac * best_repeat); defaults to the table's own
+    best. The rescue pass passes the FULL table's best so rescued poses
+    clear the same global quality bar as first-round ones."""
     if table.n == 0:
         return []
     n = min(n_samples, table.n)
@@ -90,7 +96,8 @@ def filter_pairs(table: MatchTable, hi_bins: np.ndarray, lo_bins: np.ndarray,
             weights[j] += 1
             members[j].append(member_row(i))
 
-    best_repeat = table.repeat[0]
+    if best_repeat is None:
+        best_repeat = table.repeat[0]
     rep_thresh = max(cfg.min_repeat, best_repeat * cfg.repeat_frac)
 
     out = []

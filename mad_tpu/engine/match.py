@@ -54,6 +54,18 @@ class MatchTable:
     def n(self) -> int:
         return self.cc.shape[0]
 
+    def take(self, rows: np.ndarray, repeat: Optional[np.ndarray] = None
+             ) -> "MatchTable":
+        """Row-subset view (same clouds); optionally with re-scored
+        repeatabilities for the taken rows."""
+        return MatchTable(
+            cc=self.cc[rows],
+            repeat=self.repeat[rows] if repeat is None else repeat,
+            hi_idx=self.hi_idx[rows], lo_idx=self.lo_idx[rows],
+            rot=self.rot[rows], hi_coord=self.hi_coord[rows],
+            lo_coord=self.lo_coord[rows],
+            hi_cloud=self.hi_cloud, lo_cloud=self.lo_cloud)
+
 
 @functools.lru_cache(maxsize=16)
 def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
@@ -324,3 +336,43 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
         cc=ccs[order], repeat=rep[order], hi_idx=rows[order],
         lo_idx=cols[order], rot=rot[order], hi_coord=hi_coord[order],
         lo_coord=lo_coord[order], hi_cloud=hi_cloud, lo_cloud=lo_cloud)
+
+
+def exact_rescore(table: MatchTable, rows: np.ndarray, anchor_dist: float,
+                  mesh: Optional[Mesh] = None) -> np.ndarray:
+    """Exact NN repeatability for an arbitrary row subset of ``table``.
+
+    The rescue pass (engine/docking.py) reaches below the exact-scored
+    prefix of the table, where repeatabilities are still the approximate
+    dilated-field scores; it re-scores exactly the rows it is about to
+    consume so the ordering it clusters on is never approximate."""
+    if len(rows) == 0:
+        return np.zeros(0, np.float32)
+    a_hi = bucket(max(table.hi_cloud.shape[0], 256), 256)
+    a_lo = bucket(max(table.lo_cloud.shape[0], 256), 256)
+    hi_cloud_p = _pad_rows(table.hi_cloud.astype(np.float32), a_hi)
+    hi_valid = np.zeros(a_hi, bool)
+    hi_valid[: table.hi_cloud.shape[0]] = True
+    lo_cloud_p = _pad_rows(table.lo_cloud.astype(np.float32), a_lo)
+    lo_valid = np.zeros(a_lo, bool)
+    lo_valid[: table.lo_cloud.shape[0]] = True
+    pe = batch_bucket(len(rows), 64, mesh)
+    er = _pad_rows(table.rot[rows].astype(np.float32), pe)
+    er[len(rows):] = np.eye(3)
+    eh = _pad_rows(table.hi_coord[rows].astype(np.float32), pe)
+    el = _pad_rows(table.lo_coord[rows].astype(np.float32), pe)
+
+    def put(arr, *spec):
+        a = jnp.asarray(arr)
+        if mesh is None:
+            return a
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    ax = mesh_axis(mesh) if mesh is not None else None
+    exact_fn = _compiled_exact_repeat(a_hi, a_lo, pe, 16,
+                                      float(anchor_dist), mesh)
+    with stage("match.repeat_exact"):
+        return np.asarray(exact_fn(
+            put(hi_cloud_p), put(hi_valid), put(lo_cloud_p), put(lo_valid),
+            put(er, ax, None, None), put(eh, ax, None),
+            put(el, ax, None)))[: len(rows)]
