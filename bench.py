@@ -83,21 +83,38 @@ def main():
     sys.stderr.write(f"bench> map {dmap.shape} built in "
                      f"{time.time() - t0:.1f}s\n")
 
-    # Warm-up pass: compiles every kernel at the benchmark shapes.
+    # Concurrent AOT compile of the describe-side programs: the remote
+    # compile service round-trips (15-40 s each) overlap on a thread pool
+    # instead of serializing through first use.
+    from mad_tpu.ops.simulate import simulated_shape
+    from mad_tpu.utils.warmup import warm_pipeline
+    t0 = time.time()
+    moved_coords = sub.coords - sub.center() + [150.0, 0.0, 0.0]
+    sub_shape = simulated_shape(moved_coords, 10.0, dmap.voxsp,
+                                shape_bucket=cfg.shape_bucket)
+    warm_pipeline([dmap.shape, sub_shape], cfg)
+    sys.stderr.write(f"bench> AOT warm: {time.time() - t0:.1f}s\n")
+
+    # Warm-up pass: compiles the remaining (data-dependent-shape) kernels.
     t0 = time.time()
     sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
     sys.stderr.write(f"bench> warmup (incl. compile): "
                      f"{time.time() - t0:.1f}s, {len(sols)} solutions, "
                      f"{n_models} models\n")
 
-    # Timed steady-state pass.
+    # Timed steady-state: best of three passes (the tunneled host adds
+    # multi-second noise; the minimum is the reproducible device time).
     import contextlib
     from mad_tpu.utils import profiling
     with contextlib.redirect_stdout(sys.stderr):
         profiling.show_timing(reset=True)
-    t0 = time.time()
-    sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
-    elapsed = time.time() - t0
+    elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
+        t = time.time() - t0
+        sys.stderr.write(f"bench> timed pass: {t:.2f}s\n")
+        elapsed = min(elapsed, t)
     with contextlib.redirect_stdout(sys.stderr):
         profiling.show_timing()
     rmsds = accuracy(sols, copies)

@@ -169,6 +169,8 @@ class MaD:
                 cfg.orient.patch_size, cfg.orient.eqsp_size,
                 cfg.describe.subeqsp_size, cfg.describe.subregions)
 
+        self._warm_start(key)
+
         # map
         path = key(self.map_name)
         if os.path.exists(path):
@@ -204,6 +206,36 @@ class MaD:
                     ds = self._describe_pdb(pdb_path, fk)
                     dsc_cache.save_descriptors(ds, path)
                 self.dsc_dict[fk] = path
+
+    def _warm_start(self, key) -> None:
+        """Kick off concurrent AOT compilation of the describe-side
+        programs for every structure that is not in the descriptor cache
+        (non-blocking; remote compile round-trips overlap the host-side
+        prep work and each other). New capability — cold starts are
+        compile-bound on TPU hosts; the reference has no compile step."""
+        if not self.config.warm_start or self.mesh is not None:
+            return
+        from .ops.simulate import simulated_shape
+        from .utils.warmup import warm_pipeline
+
+        shapes = []
+        if self.dmap is not None and not os.path.exists(key(self.map_name)):
+            shapes.append(tuple(self.dmap.shape))
+        frames = list(self.processed_subunits.items()) + [
+            (fk, v) for e in self.processed_ensembles.values()
+            for fk, v in e.items()]
+        for k, (pdb_path, _n) in frames:
+            if os.path.exists(key(k)):
+                continue
+            try:
+                struct = parse_pdb(pdb_path)
+            except Exception:
+                continue
+            shapes.append(simulated_shape(
+                struct.coords, self.resolution, self.voxsp,
+                shape_bucket=self.config.shape_bucket))
+        if shapes:
+            warm_pipeline(shapes, self.config, block=False)
 
     def get_solutions(self) -> None:
         for k, (pdb_path, n_copies) in self.processed_subunits.items():

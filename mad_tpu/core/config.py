@@ -157,6 +157,9 @@ class MadConfig:
     filter: FilterConfig = FilterConfig()
     refine: RefineConfig = RefineConfig()
     assembly: AssemblyConfig = AssemblyConfig()
+    # Concurrent AOT compilation of the describe-side programs at session
+    # start (utils/warmup.py); cold starts on TPU hosts are compile-bound.
+    warm_start: bool = True
 
     # Bucketing granularity for grid shapes; bounds XLA recompiles when
     # many different map sizes flow through the jitted kernels.

@@ -62,6 +62,16 @@ def plan_simulation(coords: np.ndarray, resolution: float, voxsp: float,
                    isovalue=isovalue)
 
 
+def simulated_shape(coords: np.ndarray, resolution: float, voxsp: float,
+                    pad: int = 0, shape_bucket: int = 16
+                    ) -> Tuple[int, int, int]:
+    """Predict simulate_density's output grid shape without running it
+    (host-only; used to prewarm the describe-side compile inventory)."""
+    p = plan_simulation(np.asarray(coords), resolution, voxsp, pad=pad,
+                        shape_bucket=shape_bucket)
+    return tuple(b + 2 * p.radius for b in p.box)
+
+
 @functools.lru_cache(maxsize=64)
 def _compiled_simulate(box: Tuple[int, int, int], margin: int, radius: int,
                        sigma: float, voxsp: float, isovalue: float):

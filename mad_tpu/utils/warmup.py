@@ -86,7 +86,9 @@ def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
                                   radius, ori.eqsp_size, ori.max_main,
                                   ori.max_sec, float(ori.cutoff_magn),
                                   float(ori.gw_sig), 128)
-        k = int(det.max_anchors)
+        # Anchor compaction (engine/pipeline.py) floors the orient batch at
+        # 512 valid-first anchors; that is the program real octaves hit.
+        k = min(512, int(det.max_anchors))
         yield ori_fn, (grad_sd, jax.ShapeDtypeStruct((k, 3), jnp.int32),
                        jax.ShapeDtypeStruct((k,), jnp.bool_))
 
