@@ -50,10 +50,8 @@ def run_fit(sub, copies, dmap, resolution, cfg):
     n_models = 0
     if len(sols) >= 2:
         structures = [s.structure for s in sols]
-        with stage("bench.solution_grids"):
-            grids = asm.solution_grids(structures, cfg.assembly)
         with stage("bench.overlap_matrix"):
-            overlap = asm._overlap_matrix(grids, cfg.assembly)
+            overlap = asm.solution_overlap(structures, cfg.assembly)
         with stage("bench.enumerate"):
             tuples, sums, stds, maxs = asm.enumerate_homomultimer(
                 len(sols), min(n_copies, len(sols)), overlap)

@@ -294,8 +294,7 @@ class MaD:
             tuples = np.arange(len(sol_files))[:, None]
             sums = stds = maxs = np.zeros(len(sol_files))
         else:
-            grids = asm.solution_grids(structures, acfg)
-            overlap = asm._overlap_matrix(grids, acfg)
+            overlap = asm.solution_overlap(structures, acfg)
             self._print_overlap_table(overlap, sub_key)
             print(f"MaD> Assembling {n_copies} copies of chain {sub_key} "
                   f"from {len(sol_files)} solutions...")
@@ -331,8 +330,7 @@ class MaD:
             groups[key] = list(range(len(files), len(files) + len(sols)))
             files.extend(sols)
         structures = [parse_pdb(f) for f in files]
-        grids = asm.solution_grids(structures, acfg)
-        overlap = asm._overlap_matrix(grids, acfg)
+        overlap = asm.solution_overlap(structures, acfg)
         self._print_overlap_table(overlap, "+".join(sub_sol))
         tuples, sums, stds, maxs = asm.enumerate_heteromer(groups, overlap)
         out_dir = os.path.join(self.out_folder, "assembly_models")

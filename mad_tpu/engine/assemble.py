@@ -77,6 +77,99 @@ def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig,
     return ov
 
 
+@functools.lru_cache(maxsize=32)
+def _compiled_pack_overlap(m: int, box: tuple, frame: tuple, zp: int):
+    """One fused device program: occupancy grids -> bit-packed common-frame
+    rows -> pairwise AND/popcount intersection counts -> overlap fractions.
+
+    ``batched_simulate`` registers every box origin on the global voxel
+    lattice (ops/simulate.py:159), so embedding each solution at its integer
+    frame offset reproduces the per-pair origin arithmetic of the reference
+    (structure_utils.py:163-259 via core.grid.overlap_boxes) exactly.
+    Occupancy bits pack 32-per-uint32 along z; the pairwise intersection is
+    popcount(a & b), so the full (m, X, Y, Z) frame never materializes and
+    only the (m, m) fraction matrix leaves the device.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    X, Y = frame
+
+    def run(dens, offsets):
+        bitw = jnp.arange(32, dtype=jnp.uint32)
+
+        def pack_one(args):
+            d, off = args
+            occ = (d > 0).astype(jnp.uint32)
+            buf = jnp.zeros((X, Y, zp * 32), jnp.uint32)
+            buf = lax.dynamic_update_slice(buf, occ,
+                                           (off[0], off[1], off[2]))
+            w = buf.reshape(X, Y, zp, 32) << bitw
+            return jnp.sum(w, axis=-1, dtype=jnp.uint32).reshape(-1)
+
+        packed = lax.map(pack_one, (dens, offsets))        # (m, X*Y*zp)
+
+        def row(a):
+            inter = lax.population_count(a[None] & packed)  # (m, L)
+            return jnp.sum(inter.astype(jnp.int32), axis=1)
+
+        counts = lax.map(row, packed)                       # (m, m) int32
+        diag = jnp.diagonal(counts)
+        ov = counts.astype(jnp.float32) / jnp.maximum(
+            diag[:, None], 1).astype(jnp.float32)
+        ov = jnp.where(diag[:, None] == 0, 0.0, ov)
+        return jnp.triu(ov, k=1)
+
+    return jax.jit(run)
+
+
+def solution_overlap(structures: Sequence[Structure], cfg: AssemblyConfig
+                     ) -> np.ndarray:
+    """Pairwise overlap-fraction matrix for a solution set, fully on device
+    (parity mad/MaD.py:659-668): one batched simulate (atom counts padded
+    with zero-mass atoms so hetero subunits share the program), one fused
+    pack/popcount program, one (n, n) host pull. Replaces the
+    solution_grids + _overlap_matrix host path, which pulled every
+    occupancy grid through the host relay."""
+    import jax
+    import jax.numpy as jnp
+    from ..core.config import bucket
+    from ..ops.simulate import batched_simulate
+
+    n = len(structures)
+    if n < 2:
+        return np.zeros((n, n))
+    n_max = max(s.n_atoms for s in structures)
+    coords = np.stack([np.concatenate(
+        [s.coords, np.repeat(s.coords[:1], n_max - s.n_atoms, axis=0)])
+        for s in structures])
+    masses = np.stack([np.concatenate(
+        [s.masses, np.zeros(n_max - s.n_atoms, np.float32)])
+        for s in structures])
+    # Pad the solution count so the program caches across nearby run sizes
+    # (padding rows are zero-mass -> zero occupancy -> zero overlap rows).
+    m_pad = bucket(n, 8)
+    if m_pad > n:
+        coords = np.concatenate(
+            [coords, np.repeat(coords[:1], m_pad - n, axis=0)])
+        masses = np.concatenate(
+            [masses, np.zeros((m_pad - n, n_max), np.float32)])
+    dens, origins = batched_simulate(
+        coords, masses, cfg.sim_resolution, cfg.sim_voxsp,
+        isovalue=cfg.sim_isovalue)
+    voxsp = cfg.sim_voxsp
+    off = np.rint((origins - origins[:n].min(axis=0)) / voxsp).astype(
+        np.int32)
+    off = np.clip(off, 0, None)
+    box = dens.shape[1:]
+    ext = [bucket(int(box[a] + off[:n, a].max()), 32) for a in range(3)]
+    fn = _compiled_pack_overlap(m_pad, tuple(box), (ext[0], ext[1]),
+                                ext[2] // 32)
+    ov = fn(dens, jnp.asarray(off))
+    return np.asarray(jax.device_get(ov))[:n, :n].astype(np.float64)
+
+
 def solution_grids(structures: Sequence[Structure], cfg: AssemblyConfig
                    ) -> List[DensityGrid]:
     """Low-res occupancy grids per solution (mad/MaD.py:659). Same-sized

@@ -108,3 +108,29 @@ def test_heteromer_scales_without_host_product():
         assert np.all((tuples[:, g] >= g * n_per)
                       & (tuples[:, g] < (g + 1) * n_per))
     assert dt < 60, dt
+
+
+def test_solution_overlap_matches_host_path(solutions):
+    """The fused device overlap matrix (bit-packed common frame + popcount)
+    equals the host path (per-grid pull + per-pair origin arithmetic)
+    exactly: batched_simulate origins are lattice-registered, so the common
+    frame reproduces overlap_boxes' per-pair rounding."""
+    cfg = AssemblyConfig()
+    grids = asm.solution_grids(solutions, cfg)
+    host = asm._overlap_matrix(grids, cfg)
+    dev = asm.solution_overlap(solutions, cfg)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_solution_overlap_hetero_sizes(solutions):
+    """Different atom counts share one padded program; parity holds against
+    the per-structure host path."""
+    from mad_tpu.core.structure import Structure
+    cfg = AssemblyConfig()
+    s = solutions[3]
+    small = Structure(coords=s.coords[:100], masses=s.masses[:100],
+                      ca_idx=np.arange(0), bb_idx=np.arange(0))
+    mixed = solutions[:3] + [small]
+    host = asm._overlap_matrix(asm.solution_grids(mixed, cfg), cfg)
+    dev = asm.solution_overlap(mixed, cfg)
+    np.testing.assert_allclose(dev, host, atol=1e-6)
