@@ -76,6 +76,11 @@ def main():
     from mad_tpu.core.config import MadConfig
 
     cfg = MadConfig()
+    # Replay the recorded program manifest concurrently from t=0: recurring
+    # (even data-dependent) shapes compile / load from the persistent cache
+    # on a thread pool while the system builds.
+    from mad_tpu.utils.warmup import replay
+    replay(block=False)
     t0 = time.time()
     sub, copies, dmap = build_system()
     sys.stderr.write(f"bench> map {dmap.shape} built in "

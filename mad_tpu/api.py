@@ -144,6 +144,10 @@ class MaD:
             detect_sigma, presmooth_sigma, ori_eqsp_size, dsc_eqsp_size,
             dsc_subregions, patch_size, cc_threshold, weight_threshold,
             n_samples)
+        # Concurrent AOT replay of the recorded program inventory (cold
+        # start is compile/cache-load-bound; see utils/warmup.py).
+        from .utils.warmup import replay
+        replay(block=False)
         self.check_preprocess_data()
         if self.out_folder is None:
             return  # inputs incomplete; check_preprocess_data printed why

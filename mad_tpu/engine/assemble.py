@@ -28,6 +28,7 @@ from ..core.config import AssemblyConfig
 from ..core.grid import DensityGrid, ccc_grids, overlap_fraction
 from ..core.structure import Structure
 from ..ops.simulate import simulate_density
+from ..utils.warmup import warmable
 
 
 @dataclass
@@ -78,6 +79,7 @@ def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig,
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_pack_overlap(m: int, box: tuple, frame: tuple, zp: int):
     """One fused device program: occupancy grids -> bit-packed common-frame
     rows -> pairwise AND/popcount intersection counts -> overlap fractions.
@@ -261,44 +263,70 @@ def _unrank_combination(r: int, n: int, k: int) -> list:
     return out
 
 
+_ENUM_NMAX = 64     # static solution-frame size for the unranking program
+
+
 @functools.lru_cache(maxsize=16)
-def _compiled_enumerate_head(n: int, k: int, nsol: int, head: int):
-    """One fused program: build all C(n, k) tuples ON DEVICE (trace-time
-    Pascal recurrence, so no index matrices cross the host boundary),
-    reduce each tuple to its max pairwise overlap, return the stable
-    head (smallest max first, ties by lexicographic tuple index)."""
+@warmable
+def _compiled_enumerate_head(k: int, head: int, chunk: int):
+    """Head of the C(n, k) ranking by max pairwise overlap, ON DEVICE and
+    shape-generic in n: combination ranks decode to occupancy masks via a
+    scanned comb-number table (one scan step per candidate solution, no
+    tuple matrices or trace-time constants), the per-tuple reduction is a
+    masked outer-product max over the (padded, static) overlap matrix, and
+    a running top-``head`` merges across rank chunks. n and C(n, k) enter
+    only as runtime arguments, so one compile serves every solution count.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    def run(overlap):
-        cache = {}
+    nmax = _ENUM_NMAX
+    slots = jnp.arange(k, dtype=jnp.int32)
+    cols = jnp.arange(nmax, dtype=jnp.int32)
 
-        def combos(nn, kk):
-            if (nn, kk) in cache:
-                return cache[(nn, kk)]
-            if kk == 0:
-                out = jnp.zeros((1, 0), jnp.int32)
-            elif kk == nn:
-                out = jnp.arange(nn, dtype=jnp.int32)[None, :]
-            else:
-                sub = combos(nn - 1, kk - 1)
-                wf = jnp.concatenate(
-                    [jnp.zeros((sub.shape[0], 1), jnp.int32), sub + 1],
-                    axis=1)
-                wo = combos(nn - 1, kk) + 1
-                out = jnp.concatenate([wf, wo], axis=0)
-            cache[(nn, kk)] = out
-            return out
+    def run(sym, tab, m):
+        # sym: (nmax, nmax) f32 symmetric overlap (padded);
+        # tab: (nmax, k) int32, tab[x, i] = C(n-1-x, k-1-i); m: int32 scalar
+        def decode(r):
+            # r: (chunk,) int32 ranks -> occupancy masks (chunk, nmax)
+            def step(carry, xs):
+                rem, slot, m2 = carry
+                x, trow = xs
+                c = jnp.sum(jnp.where(slot[:, None] == slots[None],
+                                      trow[None], 0), axis=1)
+                take = rem < c
+                m2 = m2 + (cols == x)[None].astype(jnp.float32) \
+                    * take[:, None]
+                slot = slot + take.astype(jnp.int32)
+                rem = rem - jnp.where(take, 0, c)
+                return (rem, slot, m2), None
 
-        t = combos(n, k)                                  # (M, k)
-        pair_idx = list(combinations(range(k), 2))
-        i0 = jnp.asarray([p[0] for p in pair_idx])
-        i1 = jnp.asarray([p[1] for p in pair_idx])
-        vals = overlap[t[:, i0], t[:, i1]]                # (M, npair)
-        mx = jnp.max(vals, axis=1)
-        neg, idx = lax.top_k(-mx, min(head, t.shape[0]))
-        return idx, -neg
+            init = (r, jnp.zeros_like(r),
+                    jnp.zeros((r.shape[0], nmax), jnp.float32))
+            (rem, slot, m2), _ = lax.scan(
+                step, init, (cols, tab.astype(jnp.int32)))
+            return m2
+
+        n_chunks = (m + chunk - 1) // chunk
+
+        def body(ci, state):
+            best_neg, best_rank = state
+            r = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            valid = r < m
+            m2 = decode(r)
+            s = jnp.max(sym[None] * m2[:, :, None] * m2[:, None, :],
+                        axis=(1, 2))
+            s = jnp.where(valid, s, jnp.inf)
+            neg = jnp.concatenate([best_neg, -s])
+            rank = jnp.concatenate([best_rank, r])
+            top, idx = lax.top_k(neg, head)
+            return top, rank[idx]
+
+        init = (jnp.full((head,), -jnp.inf, jnp.float32),
+                jnp.zeros((head,), jnp.int32))
+        best_neg, best_rank = lax.fori_loop(0, n_chunks, body, init)
+        return best_rank, -best_neg
 
     return jax.jit(run)
 
@@ -334,9 +362,18 @@ def enumerate_homomultimer(n_solutions: int, n_copies: int,
         order = np.argsort(mx, kind="stable")
         return tuples[order], s[order], sd[order], mx[order]
 
-    fn = _compiled_enumerate_head(n_solutions, n_copies, overlap.shape[0],
-                                  head)
-    idx, mx = fn(jnp.asarray(overlap, dtype=jnp.float32))
+    if n_solutions > _ENUM_NMAX:        # frame cap; solutions arrive sorted
+        n_solutions = _ENUM_NMAX
+    sym = np.zeros((_ENUM_NMAX, _ENUM_NMAX), np.float32)
+    ov_n = overlap[:n_solutions, :n_solutions]
+    sym[:n_solutions, :n_solutions] = ov_n + ov_n.T
+    tab = np.zeros((_ENUM_NMAX, n_copies), np.int32)
+    for x in range(n_solutions):
+        for i in range(n_copies):
+            tab[x, i] = math.comb(n_solutions - 1 - x, n_copies - 1 - i)
+    fn = _compiled_enumerate_head(n_copies, head, chunk=1 << 14)
+    idx, mx = fn(jnp.asarray(sym), jnp.asarray(tab),
+                 np.int32(math.comb(n_solutions, n_copies)))
     keep = np.asarray(idx)
     top = np.asarray([_unrank_combination(int(r), n_solutions, n_copies)
                       for r in keep], dtype=np.int32)
@@ -359,6 +396,7 @@ def _hetero_scores(gather: np.ndarray, overlap: np.ndarray):
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_hetero_head(sizes: tuple, max_n: int, nsol: int, head: int,
                           chunk: int):
     """Head of the cartesian-product ranking ON DEVICE: tuple r decodes by

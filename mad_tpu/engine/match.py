@@ -34,6 +34,7 @@ from ..core.config import MatchConfig, bucket
 from ..parallel.mesh import batch_bucket, mesh_axis
 from ..utils.profiling import stage
 from .pipeline import DescriptorSet
+from ..utils.warmup import warmable
 
 
 @dataclass
@@ -68,6 +69,7 @@ class MatchTable:
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
                          threshold: float):
     def run(hi, lo):
@@ -89,6 +91,7 @@ def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
     """Occupancy-of-map-anchors field dilated by a voxel sphere.
 
@@ -148,6 +151,7 @@ def _approx_repeat_body(shape: Tuple[int, int, int], chunk: int):
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_approx_repeat(shape: Tuple[int, int, int], a_hi: int,
                             n_pairs: int, chunk: int,
                             mesh: Optional[Mesh] = None):
@@ -192,6 +196,7 @@ def _exact_repeat_body(chunk: int, thresh: float):
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_exact_repeat(a_hi: int, a_lo: int, n_pairs: int, chunk: int,
                            thresh: float, mesh: Optional[Mesh] = None):
     run = _exact_repeat_body(chunk, thresh)

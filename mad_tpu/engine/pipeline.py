@@ -80,6 +80,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
     cap_step = 128 * mesh_size(mesh)
 
     rows = []
+    pending = []
     anchor_base = 0
     origin = grid.origin
     gen = iter_lazy_octaves(grid, cfg.scalespace, cfg.shape_bucket, mesh)
@@ -147,20 +148,26 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             descs, ok = describe_anchors(
                 grad_vol, coords_d, rfin_d, lane_ok_d, octv.real_shape,
                 upsampled, cfg.describe, mesh=mesh)
-            ok = np.asarray(ok & lane_ok_d)
-        keep = np.nonzero(ok)[0]
+        # Defer every host pull to one consolidated device_get after the
+        # octave loop: each pull syncs the tunneled host (~100 ms latency),
+        # so per-octave pulls dominate the small-array traffic they carry.
+        pending.append(dict(
+            oi=oi, voxsp=octv.voxsp, origin=origin, base=anchor_base,
+            desc=descs,
+            dev=(ok & lane_ok_d, lane_anchor_d, lane_main_d, lane_sec_d,
+                 coords_d, rfin_d, anch.subvox, ori.main_bin, ori.sec_bin,
+                 order_a if order_a is not None
+                 else jnp.arange(K, dtype=jnp.int32))))
+        anchor_base += anch.capacity
+        del octv, anch, ori, grad_vol
+
+    for p, host in zip(pending,
+                       jax.device_get([p["dev"] for p in pending])):
+        (ok, lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
+         all_mains, all_secs, order_a_h) = host
         # Mesh capacities round up to whole shards; clip so a mesh run keeps
         # exactly the single-device overflow set.
-        keep = keep[: cfg.describe.max_descriptors]
-        keep_d = jnp.asarray(keep)
-        # Single consolidated device->host pull (per-array syncs are
-        # latency-bound on tunneled hosts).
-        (lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
-         all_mains, all_secs, order_a_h) = jax.device_get(
-            (lane_anchor_d, lane_main_d, lane_sec_d, coords_d,
-             rfin_d[keep_d], anch.subvox, ori.main_bin, ori.sec_bin,
-             order_a if order_a is not None
-             else jnp.arange(K, dtype=jnp.int32)))
+        keep = np.nonzero(ok)[0][: cfg.describe.max_descriptors]
         # lane_anchor indexes the compacted buffer; translate back to the
         # original detect slot for subvox coords and stable anchor ids.
         orig_anchor = order_a_h[lane_anchor[keep]]
@@ -169,18 +176,16 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         secs = all_secs[
             lane_anchor[keep], lane_main[keep], lane_sec[keep]]
         rows.append(dict(
-            desc=descs[keep_d],        # stays on device
+            desc=p["desc"][jnp.asarray(keep)],      # stays on device
             coords=coords_i[keep].astype(np.float32),
-            map_coords=coords_i[keep] * octv.voxsp + origin,
-            subv_coords=subvox.astype(np.float64) * octv.voxsp + origin,
-            rfinal=rfin.astype(np.float32),
-            octave=np.full(len(keep), oi, dtype=np.int32),
-            anchor_id=(anchor_base + orig_anchor).astype(np.int32),
+            map_coords=coords_i[keep] * p["voxsp"] + p["origin"],
+            subv_coords=subvox.astype(np.float64) * p["voxsp"] + p["origin"],
+            rfinal=rfin[keep].astype(np.float32),
+            octave=np.full(len(keep), p["oi"], dtype=np.int32),
+            anchor_id=(p["base"] + orig_anchor).astype(np.int32),
             main_bin=mains.astype(np.int32),
             sec_bin=secs.astype(np.int32),
         ))
-        anchor_base += anch.capacity
-        del octv, anch, ori, grad_vol
 
     if not rows:
         z = np.zeros

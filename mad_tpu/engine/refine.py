@@ -41,6 +41,7 @@ from ..core.geometry import axis_angle_mat, unit
 from ..core.grid import DensityGrid
 from ..parallel.mesh import batch_bucket, mesh_axis
 from ..ops.interp import pack_corners, trilinear, trilinear_packed
+from ..utils.warmup import warmable
 
 
 @dataclass
@@ -56,6 +57,7 @@ class RefineResult:
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
                      n_steps: int, max_step: float, min_step: float,
                      batch_size: int, mesh: "Mesh" = None):

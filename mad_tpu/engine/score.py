@@ -23,9 +23,11 @@ from jax import lax
 from ..core.config import bucket
 from ..core.grid import DensityGrid
 from ..ops.simulate import batched_simulate
+from ..utils.warmup import warmable
 
 
 @functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_batched_ccc(pad_shape: Tuple[int, int, int],
                           model_shape: Tuple[int, int, int]):
     def run(map_pad, models, starts):

@@ -36,6 +36,7 @@ from ..core.config import DescribeConfig
 from ..core.eqsp import get_eqsp
 from ..parallel.mesh import mesh_axis, mesh_size
 from .orient import zone_assign_fn
+from ..utils.warmup import warmable
 
 
 def descriptor_lattice(radius: int, upsampled: bool) -> np.ndarray:
@@ -75,6 +76,7 @@ def region_ids(radius: int, subregions: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_describe(shape: Tuple[int, int, int],
                        real_shape: Tuple[int, int, int], upsampled: bool,
                        radius: int, subeqsp_size: int, subregions: int,

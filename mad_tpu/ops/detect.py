@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..core.config import DetectConfig
+from ..utils.warmup import warmable
 
 
 @dataclass
@@ -98,6 +99,7 @@ def _neg_semidefinite(H: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_detect(shape: Tuple[int, int, int],
                      real_shape: Tuple[int, int, int],
                      threshold: float, exclude_border: int, max_offset: float,

@@ -42,6 +42,7 @@ from ..parallel.mesh import mesh_axis, mesh_size
 from ..core.eqsp import EQSPSphere, get_eqsp
 from ..core.geometry import axis_angle_mat, rotation_about_z, spherical_angles
 from .detect import Anchors
+from ..utils.warmup import warmable
 
 TWO_PI = 2.0 * np.pi
 
@@ -195,6 +196,7 @@ def _sphere_mask(radius: int, gw_sig: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_orient(shape: Tuple[int, int, int],
                      real_shape: Tuple[int, int, int], stride: int,
                      radius: int, eqsp_size: int, max_main: int, max_sec: int,

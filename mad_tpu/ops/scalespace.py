@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..core.config import ScaleSpaceConfig, bucket
 from ..core.grid import DensityGrid
 from .convolve import gaussian_filter3d, log_filter3d, upsample2
+from ..utils.warmup import warmable
 
 
 @dataclass
@@ -42,6 +43,7 @@ class ScaleSpace:
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_build(shape: Tuple[int, int, int], sig_init: float,
                     sig_presmooth: float, oct_mode: str, truncate: float):
     def one_octave(vol):
@@ -95,6 +97,7 @@ def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int,
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_log(shape: Tuple[int, int, int], sig_init: float,
                   sig_presmooth: float, up: bool, truncate: float):
     def build(vol):
@@ -109,6 +112,7 @@ def _compiled_log(shape: Tuple[int, int, int], sig_init: float,
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
                    sig_presmooth: float, up: bool, truncate: float,
                    dtype: str = "float32"):

@@ -29,6 +29,7 @@ from ..core.config import bucket
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from .convolve import separable_conv3d
+from ..utils.warmup import warmable
 
 
 @dataclass(frozen=True)
@@ -73,6 +74,7 @@ def simulated_shape(coords: np.ndarray, resolution: float, voxsp: float,
 
 
 @functools.lru_cache(maxsize=64)
+@warmable
 def _compiled_simulate(box: Tuple[int, int, int], margin: int, radius: int,
                        sigma: float, voxsp: float, isovalue: float):
     """Build + jit the scatter/blur kernel for one static box size."""
@@ -109,6 +111,7 @@ def _compiled_simulate(box: Tuple[int, int, int], margin: int, radius: int,
 
 
 @functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_batched_simulate(m: int, n: int, box: Tuple[int, int, int],
                                margin: int, radius: int, sigma: float,
                                voxsp: float, isovalue: float):

@@ -16,12 +16,220 @@ describe} per distinct grid bucket).
 from __future__ import annotations
 
 import concurrent.futures as cf
+import functools
+import json
+import os
+import threading
 from typing import Iterable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..core.config import MadConfig, bucket
+
+# ---------------------------------------------------------------------------
+# Manifest-replay warmup: every @warmable compiled-program factory records
+# (factory, static args, first-call signature, backend platform) into a
+# manifest next to the persistent XLA cache. ``replay()`` re-lowers and
+# compiles the whole recorded inventory on a thread pool at process start,
+# so recurring shapes — including data-dependent ones no predictive warm
+# can know — pay their compile/cache-load round-trips concurrently instead
+# of serially at first use.
+# ---------------------------------------------------------------------------
+
+_MANIFEST_MAX = 256
+_manifest_lock = threading.Lock()
+_manifest_mem: Optional[dict] = None
+
+
+def _manifest_path() -> str:
+    base = os.environ.get("MAD_TPU_CACHE",
+                          os.path.expanduser("~/.cache/mad_tpu_xla"))
+    return os.path.join(base, "warm_manifest.json")
+
+
+def _load_manifest() -> dict:
+    global _manifest_mem
+    if _manifest_mem is None:
+        try:
+            with open(_manifest_path()) as f:
+                _manifest_mem = json.load(f)
+        except (OSError, ValueError):
+            _manifest_mem = {}
+    return _manifest_mem
+
+
+def _flush_manifest(man: dict) -> None:
+    path = _manifest_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _jsonable(x) -> bool:
+    if isinstance(x, (int, float, bool, str)) or x is None:
+        return True
+    if isinstance(x, (tuple, list)):
+        return all(_jsonable(v) for v in x)
+    return False
+
+
+def _listify(x):
+    if isinstance(x, (tuple, list)):
+        return [_listify(v) for v in x]
+    return x
+
+
+def _tuplify(x):
+    if isinstance(x, list):
+        return tuple(_tuplify(v) for v in x)
+    return x
+
+
+def _sig_of(args) -> Optional[list]:
+    """JSON call signature: arrays as [shape, dtype], scalars verbatim."""
+    import numpy as np
+    sig = []
+    for a in args:
+        if hasattr(a, "shape") and hasattr(a, "dtype"):
+            sig.append(["arr", list(a.shape), str(np.dtype(a.dtype))])
+        elif isinstance(a, (np.integer, np.floating, np.bool_)):
+            sig.append(["np", str(np.dtype(type(a))), float(a)])
+        elif isinstance(a, (int, float, bool)):
+            sig.append(["py", a])
+        else:
+            return None
+    return sig
+
+
+def _abstract_of(sig):
+    import numpy as np
+    out = []
+    for s in sig:
+        if s[0] == "arr":
+            out.append(jax.ShapeDtypeStruct(tuple(s[1]), np.dtype(s[2])))
+        elif s[0] == "np":
+            out.append(np.dtype(s[1]).type(s[2]))
+        else:
+            out.append(s[1])
+    return out
+
+
+class _WarmProxy:
+    """Callable wrapper around a jitted program that records its first call
+    signature into the manifest. Delegates everything else."""
+
+    __slots__ = ("_fn", "_qual", "_args", "_kwargs", "_recorded",
+                 "__weakref__")
+
+    def __init__(self, fn, qual, args, kwargs):
+        self._fn = fn
+        self._qual = qual
+        self._args = args
+        self._kwargs = kwargs
+        self._recorded = False
+
+    def __call__(self, *a, **kw):
+        if not self._recorded and not kw:
+            self._recorded = True
+            sig = _sig_of(a)
+            if sig is not None:
+                _record(self._qual, self._args, self._kwargs, sig)
+        return self._fn(*a, **kw)
+
+    def __getattr__(self, name):
+        return getattr(self._fn, name)
+
+
+def _record(qual: str, fargs, fkwargs, sig) -> None:
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return
+    key = json.dumps([platform, qual, _listify(list(fargs)),
+                      {k: _listify(v) for k, v in sorted(fkwargs.items())},
+                      sig])
+    with _manifest_lock:
+        man = _load_manifest()
+        if key in man:
+            return
+        man[key] = True
+        while len(man) > _MANIFEST_MAX:
+            man.pop(next(iter(man)))
+        _flush_manifest(man)
+
+
+def warmable(factory):
+    """Decorator for compiled-program factories (apply UNDER lru_cache):
+    returns a recording proxy when the static args are JSON-able, the raw
+    program otherwise (e.g. a Mesh argument)."""
+    qual = factory.__module__ + ":" + factory.__name__
+
+    @functools.wraps(factory)
+    def wrapper(*args, **kw):
+        fn = factory(*args, **kw)
+        if not _jsonable(args) or not all(_jsonable(v) for v in kw.values()):
+            return fn
+        return _WarmProxy(fn, qual, args, kw)
+
+    return wrapper
+
+
+def replay(max_workers: int = 8, block: bool = False):
+    """AOT-compile every manifest entry recorded for the current backend on
+    a thread pool. Stale entries (changed factory signatures) are dropped.
+    Returns the futures; with block=True waits and ignores failures."""
+    import importlib
+
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        return []
+    with _manifest_lock:
+        man = dict(_load_manifest())
+    jobs = []
+    stale = []
+    for key in man:
+        try:
+            plat, qual, fargs, fkwargs, sig = json.loads(key)
+            if plat != platform:
+                continue
+            mod_name, fn_name = qual.split(":")
+            mod = importlib.import_module(mod_name)
+            factory = getattr(mod, fn_name)
+            fn = factory(*_tuplify(fargs),
+                         **{k: _tuplify(v) for k, v in fkwargs.items()})
+            jobs.append((fn, _abstract_of(sig)))
+        except Exception:
+            stale.append(key)
+    if stale:
+        with _manifest_lock:
+            live = _load_manifest()
+            for key in stale:
+                live.pop(key, None)
+            _flush_manifest(live)
+
+    if not jobs:
+        return []
+    pool = cf.ThreadPoolExecutor(max_workers=max_workers)
+
+    def compile_one(fn, abstract):
+        try:
+            fn.lower(*abstract).compile()
+        except Exception:
+            pass
+
+    futures = [pool.submit(compile_one, fn, abstract)
+               for fn, abstract in jobs]
+    pool.shutdown(wait=False)
+    if block:
+        cf.wait(futures)
+    return futures
 
 
 def _octave_params(grid_shape: Tuple[int, int, int], cfg: MadConfig):

@@ -134,3 +134,36 @@ def test_solution_overlap_hetero_sizes(solutions):
     host = asm._overlap_matrix(asm.solution_grids(mixed, cfg), cfg)
     dev = asm.solution_overlap(mixed, cfg)
     np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_homomultimer_device_head_matches_bruteforce():
+    """The shape-generic unranking head program returns the same leading
+    ranking as exhaustive host enumeration (C(14,6) = 3003 tuples forced
+    down the device path via head=32: 3003 > 4*32)."""
+    rng = np.random.default_rng(7)
+    n_sol, k = 14, 6
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.3, k=1)
+    t_dev, s_dev, sd_dev, mx_dev = asm.enumerate_homomultimer(
+        n_sol, k, ov, head=32)
+    assert len(t_dev) == 32
+    t_full = asm._all_combinations(n_sol, k)
+    s_f, sd_f, mx_f = asm._score_tuples(t_full, ov)
+    order = np.argsort(mx_f, kind="stable")
+    np.testing.assert_array_equal(t_dev, t_full[order][:32])
+    np.testing.assert_allclose(mx_dev, mx_f[order][:32], atol=1e-6)
+    np.testing.assert_allclose(s_dev, s_f[order][:32], atol=1e-6)
+
+
+def test_homomultimer_device_head_multi_chunk():
+    """Rank space larger than one 16k chunk: running top-head merge across
+    chunks still matches exhaustive enumeration (C(25,6) = 177,100)."""
+    rng = np.random.default_rng(8)
+    n_sol, k = 25, 6
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.3, k=1)
+    t_dev, _s, _sd, mx_dev = asm.enumerate_homomultimer(n_sol, k, ov,
+                                                        head=16)
+    t_full = asm._all_combinations(n_sol, k)
+    _sf, _sdf, mx_f = asm._score_tuples(t_full, ov)
+    order = np.argsort(mx_f, kind="stable")
+    np.testing.assert_array_equal(t_dev, t_full[order][:16])
+    np.testing.assert_allclose(mx_dev, mx_f[order][:16], atol=1e-6)
