@@ -36,14 +36,19 @@ def run_fit(sub, copies, dmap, resolution, cfg):
     from mad_tpu.engine import assemble as asm
     from mad_tpu.utils.profiling import stage
 
+    from mad_tpu.engine.pipeline import describe_many
+
     n_copies = len(copies)
-    with stage("bench.describe_map"):
-        map_set = describe_grid(dmap, cfg, name="bench_map")
     # Decoy transform (self-fit protocol, reference run_MaD.py path)
     moved = sub.with_coords(sub.coords - sub.center() + [150.0, 0.0, 0.0])
-    with stage("bench.describe_sub"):
-        sub_set = describe_structure(moved, resolution, dmap.voxsp, cfg,
-                                     name="bench_sub")
+    # Map and subunit describe chains are independent: threading them
+    # overlaps their host-relay syncs (engine/pipeline.describe_many).
+    with stage("bench.describe"):
+        map_set, sub_set = describe_many([
+            lambda: describe_grid(dmap, cfg, name="bench_map"),
+            lambda: describe_structure(moved, resolution, dmap.voxsp, cfg,
+                                       name="bench_sub"),
+        ])
     with stage("bench.dock"):
         sols = dock_structure(map_set, sub_set, moved, dmap, resolution, cfg,
                               n_copies=n_copies, verbose=False)

@@ -9,6 +9,7 @@ complex_ranking.csv, anchor debug dumps).
 
 from __future__ import annotations
 
+import functools
 import csv
 import os
 from typing import Dict, List, Optional
@@ -175,6 +176,11 @@ class MaD:
 
         self._warm_start(key)
 
+        # Map and subunit describe chains are independent; cache misses run
+        # on a small thread pool so their host-relay syncs overlap
+        # (engine/pipeline.describe_many). h5 saves stay on this thread.
+        jobs = []
+
         # map
         path = key(self.map_name)
         if os.path.exists(path):
@@ -183,9 +189,8 @@ class MaD:
                   "found in database")
         else:
             print(f"\nMaD> Processing map {self.map_name}")
-            self.map_dsc = describe_grid(self.dmap, cfg, name=self.map_name,
-                                         mesh=self.mesh)
-            dsc_cache.save_descriptors(self.map_dsc, path)
+            jobs.append(("", path, lambda: describe_grid(
+                self.dmap, cfg, name=self.map_name, mesh=self.mesh)))
 
         # subunits
         for k, (pdb_path, _n) in self.processed_subunits.items():
@@ -193,11 +198,22 @@ class MaD:
             if os.path.exists(path):
                 ds = dsc_cache.load_descriptors(path, k)
                 print(f"MaD> {ds.n} descriptors for {k} found in database")
+                self.dsc_dict[k] = ds
             else:
                 print(f"\nMaD> Processing subunit {k}")
-                ds = self._describe_pdb(pdb_path, k)
+                self.dsc_dict[k] = None      # placeholder keeps dict order
+                jobs.append((k, path, functools.partial(
+                    self._describe_pdb, pdb_path, k)))
+
+        if jobs:
+            from .engine.pipeline import describe_many
+            for (k, path, _fn), ds in zip(
+                    jobs, describe_many([j[2] for j in jobs])):
                 dsc_cache.save_descriptors(ds, path)
-            self.dsc_dict[k] = ds
+                if k:
+                    self.dsc_dict[k] = ds
+                else:
+                    self.map_dsc = ds
 
         # ensembles: store the cache path per frame (memory-friendly,
         # parity mad/MaD.py:158-162)

@@ -131,6 +131,10 @@ class RefineConfig:
     min_step: float = 0.1
     batch_size: int = 4            # steps between step-size halving checks
     dedup_rmsd: float = 6.0        # CA-RMSD merging threshold post-refine
+    segment_steps: int = 128       # compact converged candidates after this
+                                   # many steps (0 = monolithic loop)
+    field_dtype: str = "float32"   # packed gradient-field storage (bfloat16
+                                   # halves the gather row size)
 
 
 @dataclasses.dataclass(frozen=True)

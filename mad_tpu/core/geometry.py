@@ -89,6 +89,27 @@ def kabsch(mobile: jnp.ndarray, reference: jnp.ndarray):
     return R, T
 
 
+def kabsch_np(mobile: "np.ndarray", reference: "np.ndarray"):
+    """Host-side twin of :func:`kabsch` (same convention; batched 3x3 SVDs
+    are microseconds of numpy, so host callers avoid two device round
+    trips through the tunneled relay)."""
+    import numpy as np
+    av1 = np.mean(mobile, axis=-2, keepdims=True)
+    av2 = np.mean(reference, axis=-2, keepdims=True)
+    m = mobile - av1
+    r = reference - av2
+    a = np.swapaxes(m, -1, -2) @ r
+    u, _, vt = np.linalg.svd(a)
+    det = np.linalg.det(np.swapaxes(vt, -1, -2) @ np.swapaxes(u, -1, -2))
+    flip = np.stack(
+        [np.ones_like(det), np.ones_like(det), det], axis=-1
+    )[..., :, None]
+    vt = vt * flip
+    R = np.swapaxes(np.swapaxes(vt, -1, -2) @ np.swapaxes(u, -1, -2), -1, -2)
+    T = av2[..., 0, :] - (av1 @ R)[..., 0, :]
+    return R, T
+
+
 def apply_rigid(coords: jnp.ndarray, R: jnp.ndarray, T: jnp.ndarray) -> jnp.ndarray:
     """coords @ R + T with broadcasting over leading batch dims."""
     return coords @ R + T[..., None, :]

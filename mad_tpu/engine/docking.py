@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from scipy.spatial import cKDTree
 
 from ..core.config import MadConfig
-from ..core.geometry import kabsch
+from ..core.geometry import kabsch_np
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from .score import ccc_structures
@@ -56,10 +56,9 @@ def _refine_and_merge(candidates: List[Candidate], solutions: List[Solution],
         res = refine_candidates(dmap, starts, cfg.refine, mesh=mesh)
 
     # Re-scored repeatability after refinement (mad/MaD.py:580-590):
-    # one vmapped Kabsch over all candidates, then host NN queries.
-    Rb, Tb = kabsch(jnp.asarray(np.broadcast_to(x0, res.coords.shape)),
-                    jnp.asarray(res.coords))
-    Rb, Tb = np.asarray(Rb), np.asarray(Tb)
+    # batched host Kabsch (C tiny 3x3 SVDs; device round trips would cost
+    # more than the math), then host NN queries.
+    Rb, Tb = kabsch_np(np.broadcast_to(x0, res.coords.shape), res.coords)
     lo_tree = cKDTree(table.lo_cloud)
     thresh = dmap.voxsp * 1.5
     refined: List[tuple] = []

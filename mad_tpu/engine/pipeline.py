@@ -211,6 +211,22 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         name=name or grid.name, **cat)
 
 
+def describe_many(jobs, max_workers: int = 2):
+    """Run independent describe chains on a small thread pool.
+
+    Each job is a zero-arg callable returning a DescriptorSet. The device
+    serializes the actual kernels, but every host round trip through the
+    tunneled relay (~100 ms each: anchor counts, lane counts, the final
+    pull) overlaps with the other chain's device work instead of
+    serializing the whole pipeline. Results return in job order."""
+    import concurrent.futures as cf
+    if len(jobs) <= 1:
+        return [j() for j in jobs]
+    with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = [ex.submit(j) for j in jobs]
+        return [f.result() for f in futs]
+
+
 def describe_structure(struct: Structure, resolution: float, voxsp: float,
                        cfg: MadConfig, isovalue: float = 0.0, name: str = ""
                        ) -> DescriptorSet:

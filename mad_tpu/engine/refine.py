@@ -60,9 +60,17 @@ class RefineResult:
 @warmable
 def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
                      n_steps: int, max_step: float, min_step: float,
-                     batch_size: int, mesh: "Mesh" = None):
-    def refine(map_data, y0, atom_valid, origin, voxsp):
+                     batch_size: int, field_dtype: str = "float32",
+                     mesh: "Mesh" = None):
+    def refine(map_data, y0, atom_valid, origin, voxsp, trans0, rot0,
+               step_size0, prev0, frozen0, failed0, counts0, step0, stop_at):
         """y0: (C, N, 3) start coords; atom_valid: (N,) padding mask.
+
+        The refinement state (trans/rot/step-size/checkpoint/flags and the
+        global step counter) is an explicit argument so the driver can run
+        the loop in SEGMENTS: after an early segment most candidates have
+        converged and the survivors compact into a smaller batch — same
+        trajectories (every step is lane-independent), ~half the lane-steps.
 
         C is whatever candidate slab arrives: the full axis single-device,
         one shard of it under shard_map (each device refines its candidates
@@ -75,9 +83,11 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
         # Corner-packed field: one 128B-row gather per atom per step instead
         # of 8 corner gathers (exactly equal values, ~2x faster; costs 8x
         # field memory so it is gated on volume size).
-        use_packed = (shape[0] * shape[1] * shape[2]) * 128 < 4 << 30
+        row_bytes = 128 if field_dtype == "float32" else 64
+        use_packed = (shape[0] * shape[1] * shape[2]) * row_bytes < 4 << 30
         if use_packed:
-            packed = pack_corners(grad_field)
+            packed = pack_corners(
+                grad_field, None if field_dtype == "float32" else field_dtype)
         av = atom_valid.astype(y0.dtype)
         n_atoms = jnp.maximum(jnp.sum(av), 1.0)
         center = (jnp.sum(y0 * av[None, :, None], axis=1, keepdims=True)
@@ -136,22 +146,18 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
         def cond(carry):
             step, state, _ = carry
             frozen = state[4]
-            return (step < n_steps) & jnp.any(~frozen)
+            return (step < stop_at) & jnp.any(~frozen)
 
         def loop(carry):
             step, state, counts = carry
             new_state, took = body(state, step)
             return step + 1, new_state, counts + took
 
-        init_state = (jnp.zeros((c, 3), y0.dtype),
-                      jnp.broadcast_to(jnp.eye(3, dtype=y0.dtype), (c, 3, 3)),
-                      jnp.full((c,), max_step, y0.dtype), y0,
-                      jnp.zeros((c,), dtype=bool), jnp.zeros((c,), dtype=bool))
-        _, (trans, rot, _, _, frozen, failed), counts = lax.while_loop(
-            cond, loop, (jnp.int32(0), init_state,
-                         jnp.zeros((c,), jnp.int32)))
+        init_state = (trans0, rot0, step_size0, prev0, frozen0, failed0)
+        _, (trans, rot, step_size, prev, frozen, failed), counts = \
+            lax.while_loop(cond, loop, (step0, init_state, counts0))
         coords = (y0 - center) @ rot + center + trans[:, None]
-        return rot, trans, coords, frozen, counts, failed
+        return (rot, trans, coords, frozen, counts, failed, step_size, prev)
 
     if mesh is None:
         return jax.jit(refine)
@@ -159,21 +165,40 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
     # over independent pose-refinement scans; map replicated).
     ax = mesh_axis(mesh)
     sm = shard_map(refine, mesh=mesh,
-                   in_specs=(P(), P(ax, None, None), P(), P(), P()),
+                   in_specs=(P(), P(ax, None, None), P(), P(), P(),
+                             P(ax, None), P(ax, None, None), P(ax),
+                             P(ax, None, None), P(ax), P(ax), P(ax),
+                             P(), P()),
                    out_specs=(P(ax, None, None), P(ax, None),
-                              P(ax, None, None), P(ax), P(ax), P(ax)),
+                              P(ax, None, None), P(ax), P(ax), P(ax),
+                              P(ax), P(ax, None, None)),
                    # the while_loop carry mixes replicated inits with
                    # shard-varying updates; skip the static VMA check
                    check_vma=False)
     return jax.jit(sm)
 
 
+def _pow2_bucket(k: int, lo: int = 4) -> int:
+    b = lo
+    while b < k:
+        b *= 2
+    return b
+
+
 def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
                       cfg: RefineConfig, mesh: "Mesh" = None) -> RefineResult:
     """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms.
 
+    Single-device runs are SEGMENTED: after ``segment_steps`` steps the
+    frozen mask is pulled (one small sync) and the surviving candidates
+    compact into a pow2-bucketed batch for the remaining steps — the
+    median candidate converges several times earlier than the slowest one,
+    so the compaction roughly halves the lane-steps while every candidate
+    trajectory stays bitwise identical (all step math is lane-independent).
+
     mesh: optional device mesh; candidates shard across devices (each pose
-    refinement is an independent scan), map replicated."""
+    refinement is an independent scan), map replicated; segmentation is
+    disabled (per-lane waste is distributed over the mesh)."""
     c_real, n_real = start_coords.shape[:2]
     c = batch_bucket(max(c_real, 4), 4, mesh)
     n = bucket(n_real, 256)
@@ -184,23 +209,68 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         y0[c_real:] = y0[0]
     atom_valid = np.zeros(n, dtype=bool)
     atom_valid[:n_real] = True
-    fn = _compiled_refine(tuple(dmap.shape), c, n, cfg.n_steps,
-                          float(cfg.max_step), float(cfg.min_step),
-                          cfg.batch_size, mesh)
+
+    def program(cc):
+        return _compiled_refine(tuple(dmap.shape), cc, n, cfg.n_steps,
+                                float(cfg.max_step), float(cfg.min_step),
+                                cfg.batch_size,
+                                getattr(cfg, "field_dtype", "float32"), mesh)
+
     y0_d = jnp.asarray(y0)
     map_d = dmap.device()
     if mesh is not None:
         ax = mesh_axis(mesh)
         y0_d = jax.device_put(y0_d, NamedSharding(mesh, P(ax, None, None)))
         map_d = jax.device_put(map_d, NamedSharding(mesh, P()))
-    rot, trans, coords, frozen, steps, failed = fn(
-        map_d, y0_d, jnp.asarray(atom_valid),
-        jnp.asarray(dmap.origin, dtype=jnp.float32),
-        np.float32(dmap.voxsp))
+    valid_d = jnp.asarray(atom_valid)
+    origin_d = jnp.asarray(dmap.origin, dtype=jnp.float32)
+    voxsp = np.float32(dmap.voxsp)
+
+    def init_state(yy, cc):
+        return (jnp.zeros((cc, 3), jnp.float32),
+                jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (cc, 3, 3)),
+                jnp.full((cc,), cfg.max_step, jnp.float32), yy,
+                jnp.zeros((cc,), dtype=bool), jnp.zeros((cc,), dtype=bool),
+                jnp.zeros((cc,), jnp.int32))
+
+    seg = int(getattr(cfg, "segment_steps", 128))
+    segmented = (mesh is None and seg > 0 and cfg.n_steps > 2 * seg
+                 and c_real >= 16)
+    stop1 = seg if segmented else cfg.n_steps
+    out = program(c)(map_d, y0_d, valid_d, origin_d, voxsp,
+                     *init_state(y0_d, c), jnp.int32(0), jnp.int32(stop1))
+    rot, trans, coords, frozen, steps, failed, ssize, prev = out
+
+    if segmented:
+        frozen_h = np.asarray(frozen)                # small sync
+        active = np.nonzero(~frozen_h[:c_real])[0]
+        if len(active):
+            c2 = min(_pow2_bucket(len(active)), c)
+            idx = np.full(c2, active[0], np.int64)
+            idx[:len(active)] = active
+            ix = jnp.asarray(idx)
+            out2 = program(c2)(
+                map_d, y0_d[ix], valid_d, origin_d, voxsp, trans[ix],
+                rot[ix], ssize[ix], prev[ix], frozen[ix], failed[ix],
+                steps[ix], jnp.int32(seg), jnp.int32(cfg.n_steps))
+            rot2, trans2, coords2, frozen2, steps2, failed2, _, _ = out2
+            k = len(active)
+            ia = ix[:k]
+            rot = rot.at[ia].set(rot2[:k])
+            trans = trans.at[ia].set(trans2[:k])
+            coords = coords.at[ia].set(coords2[:k])
+            frozen = frozen.at[ia].set(frozen2[:k])
+            steps = steps.at[ia].set(steps2[:k])
+            failed = failed.at[ia].set(failed2[:k])
+
+    # One consolidated pull: every np.asarray would be its own ~100 ms
+    # round trip through the tunneled host relay.
+    rot, trans, coords, frozen, steps, failed = jax.device_get(
+        (rot, trans, coords, frozen, steps, failed))
     return RefineResult(
-        rot=np.asarray(rot)[:c_real],
-        trans=np.asarray(trans)[:c_real],
-        coords=np.asarray(coords)[:c_real, :n_real].astype(np.float64),
-        converged=np.asarray(frozen)[:c_real],
-        steps=np.asarray(steps)[:c_real],
-        failed=np.asarray(failed)[:c_real])
+        rot=rot[:c_real],
+        trans=trans[:c_real],
+        coords=coords[:c_real, :n_real].astype(np.float64),
+        converged=frozen[:c_real],
+        steps=steps[:c_real],
+        failed=failed[:c_real])

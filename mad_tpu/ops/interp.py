@@ -34,15 +34,19 @@ def trilinear(field: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def pack_corners(field: jnp.ndarray) -> jnp.ndarray:
+def pack_corners(field: jnp.ndarray, dtype=None) -> jnp.ndarray:
     """Corner-packed layout for single-gather trilinear interpolation.
 
-    Returns ((X-1)*(Y-1)*(Z-1), 32) float32 where channels 4c..4c+2 hold the
-    3-vector at corner offset c of the cell. One 128-byte-row gather then
-    replaces the 8 corner gathers of ``trilinear`` (~2x faster on TPU at 8x
-    the memory: use for hot loops like the rigid refiner).
+    Returns ((X-1)*(Y-1)*(Z-1), 32) rows where channels 4c..4c+2 hold the
+    3-vector at corner offset c of the cell. One row gather (128 B at f32,
+    64 B at bf16) then replaces the 8 corner gathers of ``trilinear``
+    (~2x faster on TPU at 8x the memory: use for hot loops like the rigid
+    refiner). dtype: optional row storage dtype (e.g. bfloat16 halves the
+    row size; values round per element, interpolation weights stay f32).
     """
     x, y, z = field.shape[:3]
+    if dtype is not None:
+        field = field.astype(dtype)
     blocks = []
     for dx in (0, 1):
         for dy in (0, 1):
@@ -64,7 +68,7 @@ def trilinear_packed(packed: jnp.ndarray, dims, pts: jnp.ndarray
     f = p - p0.astype(p.dtype)
     w0, w1 = 1.0 - f, f
     idx = (p0[..., 0] * (y - 1) + p0[..., 1]) * (z - 1) + p0[..., 2]
-    rows = packed[idx]
+    rows = packed[idx].astype(pts.dtype)
     out = 0.0
     c = 0
     for dx in (0, 1):

@@ -183,9 +183,12 @@ def warmable(factory):
 def replay(max_workers: int = 8, block: bool = False):
     """AOT-compile every manifest entry recorded for the current backend on
     a thread pool. Stale entries (changed factory signatures) are dropped.
-    Returns the futures; with block=True waits and ignores failures."""
+    Returns the futures; with block=True waits and ignores failures.
+    Disabled by MAD_TPU_NO_WARM=1 (diagnostics / constrained hosts)."""
     import importlib
 
+    if os.environ.get("MAD_TPU_NO_WARM", "") not in ("", "0"):
+        return []
     try:
         platform = jax.default_backend()
     except Exception:

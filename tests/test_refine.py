@@ -41,3 +41,27 @@ def test_refine_batched_candidates_independent(system):
     for i in range(3):
         rmsd = np.sqrt(((res.coords[i] - p.coords) ** 2).sum(1).mean())
         assert rmsd < 1.0, (i, rmsd)
+
+
+def test_refine_segmented_equals_monolithic(system):
+    """Segmented refinement (converged-candidate compaction) reproduces the
+    monolithic while_loop bitwise: every step is lane-independent, so
+    compacting frozen lanes cannot change any trajectory."""
+    import dataclasses
+    struct, dmap = system
+    rng = np.random.default_rng(3)
+    # 18 candidates (>= 16 triggers segmentation) with mixed perturbations:
+    # small ones converge quickly, larger ones late -> real compaction.
+    starts = np.stack([
+        struct.coords + rng.normal(scale=0.2 + 0.4 * (i % 3), size=3)
+        for i in range(18)
+    ]).astype(np.float32)
+    mono = refine_candidates(
+        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=0))
+    segd = refine_candidates(
+        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=64))
+    np.testing.assert_array_equal(mono.converged, segd.converged)
+    np.testing.assert_array_equal(mono.steps, segd.steps)
+    np.testing.assert_array_equal(mono.rot, segd.rot)
+    np.testing.assert_array_equal(mono.trans, segd.trans)
+    np.testing.assert_array_equal(mono.coords, segd.coords)
