@@ -306,35 +306,49 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
 
     approx_fn = _compiled_approx_repeat(tuple(grid_shape), a_hi, p, 256,
                                         mesh)
+    rot_d = put(rot_p, ax, None, None)
+    hc_d = put(hc_p, ax, None)
+    lc_d = put(lc_p, ax, None)
     with stage("match.repeat_approx"):
-        rep = np.asarray(approx_fn(
+        rep_d = approx_fn(
             put(field), put(hi_cloud_p), put(hi_valid),
             put(np.asarray(grid_origin, dtype=np.float32)),
-            jnp.float32(1.0 / voxsp), put(rot_p, ax, None, None),
-            put(hc_p, ax, None), put(lc_p, ax, None)))[: len(rows)]
+            jnp.float32(1.0 / voxsp), rot_d, hc_d, lc_d)
 
     # Stage B: exact re-scoring of the top pairs (ordering-critical set).
+    # The selection and the gathered exact-kernel inputs stay on device so
+    # stage A -> selection -> stage B dispatches without an intermediate
+    # host sync; one consolidated pull returns both scores.
     if cfg.exact_top > 0 or min_exact > 0:
         # Selection count is mesh-independent (mesh only pads the kernel
         # inputs) so a mesh run rescopes the same set as a single device.
         want = max(cfg.exact_top, min_exact)
         n_exact = min(bucket(want, 64), bucket(len(rows), 64))
-        top = np.argsort(-rep, kind="stable")[:n_exact]
-        pe = batch_bucket(len(top), 64, mesh)
-        er = _pad_rows(rot[top].astype(np.float32), pe)
-        er[len(top):] = np.eye(3)
-        eh = _pad_rows(hi_coord[top].astype(np.float32), pe)
-        el = _pad_rows(lo_coord[top].astype(np.float32), pe)
-        exact_fn = _compiled_exact_repeat(a_hi, a_lo, er.shape[0], 16,
+        pe = batch_bucket(n_exact, 64, mesh)
+        # Padding rows (>= len(rows)) must not enter the top selection.
+        rep_m = jnp.where(jnp.arange(p) < len(rows), rep_d, -jnp.inf)
+        if mesh is not None:
+            rep_m = jax.device_put(rep_m, NamedSharding(mesh, P()))
+        top_d = jnp.argsort(-rep_m, stable=True)[:pe]
+        er = jnp.where((jnp.arange(pe) < n_exact)[:, None, None],
+                       rot_d[top_d], jnp.eye(3, dtype=jnp.float32))
+        eh, el = hc_d[top_d], lc_d[top_d]
+        if mesh is not None:
+            er = jax.device_put(er, NamedSharding(mesh, P(ax, None, None)))
+            eh = jax.device_put(eh, NamedSharding(mesh, P(ax, None)))
+            el = jax.device_put(el, NamedSharding(mesh, P(ax, None)))
+        exact_fn = _compiled_exact_repeat(a_hi, a_lo, pe, 16,
                                           float(cfg.anchor_dist), mesh)
         with stage("match.repeat_exact"):
-            erep = np.asarray(exact_fn(
+            erep_d = exact_fn(
                 put(hi_cloud_p), put(hi_valid),
-                put(lo_cloud_p), put(lo_valid),
-                put(er, ax, None, None), put(eh, ax, None),
-                put(el, ax, None)))[: len(top)]
-        rep = rep.copy()
-        rep[top] = erep
+                put(lo_cloud_p), put(lo_valid), er, eh, el)
+            rep, erep, top = jax.device_get((rep_d, erep_d, top_d))
+        rep = rep[: len(rows)].copy()
+        n_use = min(n_exact, len(rows))
+        rep[top[:n_use]] = erep[:n_use]
+    else:
+        rep = np.asarray(rep_d)[: len(rows)]
 
     order = np.argsort(-rep, kind="stable")
     return MatchTable(
