@@ -34,21 +34,48 @@ class MrcHeader:
         return self.cella[0] / self.mx if self.mx else 0.0
 
 
+def _byte_order(raw: bytes) -> str:
+    """Endianness from the MRC2014 machine stamp (word 54), with a
+    sane-dimensions heuristic for files that left the stamp blank
+    (common in older EMDB depositions)."""
+    stamp = raw[212:214]
+    if stamp in (b"\x44\x44", b"\x44\x41", b"\x41\x44"):
+        return "<"
+    if stamp == b"\x11\x11":
+        return ">"
+    # Heuristic: dimensions must be positive and believable.
+    def plausible(e):
+        nx, ny, nz, mode = struct.unpack(e + "4i", raw[0:16])
+        return all(0 < v < (1 << 20) for v in (nx, ny, nz)) and \
+            0 <= mode < 128
+    if plausible("<"):
+        return "<"
+    if plausible(">"):
+        return ">"
+    return "<"
+
+
 def read_mrc(path: str):
-    """Returns (header, data) with data shaped (nz, ny, nx) as stored."""
+    """Returns (header, data) with data shaped (nz, ny, nx) as stored.
+    Handles both byte orders (machine stamp / header heuristic)."""
     with open(path, "rb") as fh:
         raw = fh.read(1024)
-        ints = struct.unpack("<10i", raw[0:40])
+        e = _byte_order(raw)
+        ints = struct.unpack(e + "10i", raw[0:40])
         nx, ny, nz, mode, nxstart, nystart, nzstart, mx, my, mz = ints
-        cella = struct.unpack("<3f", raw[40:52])
-        mapc, mapr, maps = struct.unpack("<3i", raw[64:76])
-        nsymbt = struct.unpack("<i", raw[92:96])[0]
-        origin = struct.unpack("<3f", raw[196:208])
+        cella = struct.unpack(e + "3f", raw[40:52])
+        mapc, mapr, maps = struct.unpack(e + "3i", raw[64:76])
+        nsymbt = struct.unpack(e + "i", raw[92:96])[0]
+        origin = struct.unpack(e + "3f", raw[196:208])
         if mode not in _MODE_DTYPES:
             raise ValueError(f"Unsupported MRC mode {mode} in {path}")
         fh.seek(1024 + nsymbt)
-        data = np.fromfile(fh, dtype=_MODE_DTYPES[mode],
+        dtype = np.dtype(_MODE_DTYPES[mode]).newbyteorder(e)
+        data = np.fromfile(fh, dtype=dtype,
                            count=nx * ny * nz).reshape(nz, ny, nx)
+        if e == ">":
+            # native byte order for device transfer and downstream numpy
+            data = data.astype(dtype.newbyteorder("="))
     hdr = MrcHeader(nx=nx, ny=ny, nz=nz, mode=mode, nxstart=nxstart,
                     nystart=nystart, nzstart=nzstart, mx=mx, my=my, mz=mz,
                     cella=cella, mapc=mapc, mapr=mapr, maps=maps,

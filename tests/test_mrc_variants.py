@@ -79,3 +79,54 @@ def test_origin_record_convention(tmp_path):
     _write_mrc_variant(path, arr, 1.5, origin, [0, 1, 2])
     g = read_map(path, normalize=False)
     np.testing.assert_allclose(g.origin, origin, atol=1e-5)
+
+
+def _write_mrc_bigendian(path, arr_xyz, voxsp, origin, stamp=True):
+    """Big-endian mode-2 map (old EMDB depositions; machine stamp 0x11)."""
+    raw = np.transpose(arr_xyz, (2, 1, 0))          # (nz, ny, nx)
+    nz, ny, nx = raw.shape
+    hdr = bytearray(1024)
+    struct.pack_into(">10i", hdr, 0, nx, ny, nz, 2, 0, 0, 0, nx, ny, nz)
+    struct.pack_into(">3f", hdr, 40, nx * voxsp, ny * voxsp, nz * voxsp)
+    struct.pack_into(">3f", hdr, 52, 90.0, 90.0, 90.0)
+    struct.pack_into(">3i", hdr, 64, 1, 2, 3)
+    struct.pack_into(">3f", hdr, 196, *[float(o) for o in origin])
+    hdr[208:212] = b"MAP "
+    if stamp:
+        hdr[212:216] = bytes([0x11, 0x11, 0, 0])
+    with open(path, "wb") as fh:
+        fh.write(bytes(hdr))
+        raw.astype(">f4").tofile(fh)
+
+
+@pytest.mark.parametrize("stamp", [True, False])
+def test_big_endian_map(tmp_path, stamp):
+    """Byte order from the machine stamp, or (stamp blank, another EMDB
+    reality) from the sane-dimensions heuristic."""
+    rng = np.random.default_rng(0)
+    arr = rng.random((7, 6, 5)).astype(np.float32)
+    path = str(tmp_path / "be.mrc")
+    _write_mrc_bigendian(path, arr, 1.5, (3.0, -4.5, 6.0), stamp=stamp)
+    g = read_map(path, normalize=False)
+    np.testing.assert_allclose(np.asarray(g.host()), arr, atol=1e-6)
+    np.testing.assert_allclose(g.origin, [3.0, -4.5, 6.0], atol=1e-5)
+    assert np.isclose(g.voxsp, 1.5)
+
+
+def test_integer_mode_map(tmp_path):
+    """Mode-1 (int16) volumes read and normalize like mode-2."""
+    arr = (np.arange(5 * 4 * 3).reshape(5, 4, 3) % 100).astype(np.int16)
+    raw = np.transpose(arr, (2, 1, 0))
+    nz, ny, nx = raw.shape
+    hdr = bytearray(1024)
+    struct.pack_into("<10i", hdr, 0, nx, ny, nz, 1, 0, 0, 0, nx, ny, nz)
+    struct.pack_into("<3f", hdr, 40, nx * 2.0, ny * 2.0, nz * 2.0)
+    struct.pack_into("<3i", hdr, 64, 1, 2, 3)
+    hdr[208:212] = b"MAP "
+    hdr[212:216] = bytes([0x44, 0x44, 0, 0])
+    path = str(tmp_path / "i16.mrc")
+    with open(path, "wb") as fh:
+        fh.write(bytes(hdr))
+        raw.tofile(fh)
+    g = read_map(path, normalize=False)
+    np.testing.assert_allclose(np.asarray(g.host()), arr.astype(np.float32))
