@@ -103,28 +103,46 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                 # localization gathers want the full volume local
                 log_vol = jax.device_put(log_vol, replicated(mesh))
             anch = detect_anchors(log_vol, octv.real_shape, det_cfg)
-            n_anch = int(jnp.sum(anch.valid))   # syncs; frees log_vol next
+            n_anch_d = jnp.sum(anch.valid)      # async; host pull deferred
             del log_vol
         # Anchor compaction: the static detect capacity is sized for dense
         # maps; real octaves carry a few hundred valid anchors, so the
         # orientation/descriptor stages run on a valid-first compacted
         # buffer (~8x less work at bench scale). Coarse granularity (>=512,
         # whole per-device chunks) bounds the distinct compiled programs.
+        # The compaction size is SPECULATED at the smallest bucket and
+        # orientation dispatched immediately: the anchor-count and
+        # orientation-lane-count pulls then merge into ONE host round trip,
+        # overlapped with the orientation kernel. Octaves that overflow the
+        # speculative bucket (dense maps) re-run orientation at the true
+        # size — the rare case pays one extra dispatch, the common case
+        # saves a ~100 ms relay sync.
         astep = cap_step * max(1, -(-512 // cap_step))
-        kk = min(bucket(max(n_anch, 1), astep), anch.capacity)
-        if kk < anch.capacity:
-            order_a = jnp.argsort(~anch.valid, stable=True)[:kk]
-            a_coords, a_valid = anch.coords[order_a], anch.valid[order_a]
-        else:
-            order_a = None
-            a_coords, a_valid = anch.coords, anch.valid
-        anch_c = _dc.replace(anch, coords=a_coords, valid=a_valid)
+        spec_k = min(astep, anch.capacity)
+
+        def compact(kk):
+            if kk < anch.capacity:
+                order_a = jnp.argsort(~anch.valid, stable=True)[:kk]
+                return order_a, _dc.replace(
+                    anch, coords=anch.coords[order_a],
+                    valid=anch.valid[order_a])
+            return None, anch
+
         with stage("orient"):
             grad_vol = octv.grad()
+            order_a, anch_c = compact(spec_k)
             ori = orient_anchors(grad_vol, anch_c, octv.real_shape,
                                  upsampled, cfg.orient, mesh=mesh)
+            n_anch, n_valid = jax.device_get(
+                (n_anch_d, jnp.sum(ori.valid)))
+            n_anch, n_valid = int(n_anch), int(n_valid)
+            kk = min(bucket(max(n_anch, 1), astep), anch.capacity)
+            if kk > spec_k:     # speculation overflowed: redo at true size
+                order_a, anch_c = compact(kk)
+                ori = orient_anchors(grad_vol, anch_c, octv.real_shape,
+                                     upsampled, cfg.orient, mesh=mesh)
+                n_valid = int(jnp.sum(ori.valid))
             flat_valid_dev = ori.valid.reshape(-1)
-            n_valid = int(jnp.sum(flat_valid_dev))
         K, M, S = ori.valid.shape
         if n_valid == 0:
             anchor_base += anch.capacity

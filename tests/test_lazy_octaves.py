@@ -46,3 +46,29 @@ def test_bf16_gradient_gate(grid, monkeypatch):
     cos = np.sum(g16[sel] * g32[sel], axis=-1) / (
         np.linalg.norm(g16[sel], axis=-1) * n32[sel] + 1e-12)
     assert cos.min() > 0.99
+
+
+def test_dense_octave_overflows_speculative_compaction():
+    """A noise grid yields far more than 512 anchors per octave, forcing
+    the speculative 512-anchor orientation to re-run at the true bucket
+    (engine/pipeline.describe_grid). The full anchor set must survive."""
+    import dataclasses
+    import numpy as np
+    from mad_tpu.core.config import MadConfig
+    from mad_tpu.core.grid import DensityGrid
+    from mad_tpu.engine.pipeline import describe_grid
+
+    rng = np.random.default_rng(0)
+    data = rng.random((96, 96, 96)).astype(np.float32)
+    cfg = MadConfig()
+    cfg = cfg.replace(
+        scalespace=dataclasses.replace(cfg.scalespace, oct_mode="base"),
+        detect=dataclasses.replace(cfg.detect, threshold_abs=1e-4))
+    g = DensityGrid(data=data, origin=np.zeros(3), voxsp=2.0, name="noise")
+    ds = describe_grid(g, cfg)
+    # Dense noise: anchor count well beyond the speculative bucket.
+    assert len(np.unique(ds.anchor_id)) > 512
+    # Deterministic under the redo path.
+    ds2 = describe_grid(g, cfg)
+    np.testing.assert_array_equal(ds.anchor_id, ds2.anchor_id)
+    np.testing.assert_array_equal(ds.desc_norm, ds2.desc_norm)
