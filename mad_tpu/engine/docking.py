@@ -14,7 +14,6 @@ from dataclasses import dataclass, field
 from typing import List
 
 import numpy as np
-import jax.numpy as jnp
 from scipy.spatial import cKDTree
 
 from ..core.config import MadConfig
