@@ -78,9 +78,14 @@ def accuracy(sols, copies):
 
 
 def main():
+    import dataclasses
     from mad_tpu.core.config import MadConfig
 
     cfg = MadConfig()
+    # Rescue rounds are opt-in (default 0 = reference-parity output); the
+    # bench exercises the full capability surface.
+    cfg = cfg.replace(filter=dataclasses.replace(cfg.filter,
+                                                 rescue_rounds=1))
     # Replay the recorded program manifest concurrently from t=0: recurring
     # (even data-dependent) shapes compile / load from the persistent cache
     # on a thread pool while the system builds.

@@ -141,14 +141,17 @@ class MaD:
             patch_size: int = 16, cc_threshold: float = 0.6,
             weight_threshold: int = 4, n_samples: int = 60) -> None:
         self.transform_subunits = transform_subunits
+        # Rebuild from the session's own config so construction-time knobs
+        # (rescue_rounds, refine/assembly tweaks, warm_start) survive run().
         self.config = MadConfig.from_run_kwargs(
             detect_sigma, presmooth_sigma, ori_eqsp_size, dsc_eqsp_size,
             dsc_subregions, patch_size, cc_threshold, weight_threshold,
-            n_samples)
+            n_samples, base=self.config)
         # Concurrent AOT replay of the recorded program inventory (cold
         # start is compile/cache-load-bound; see utils/warmup.py).
-        from .utils.warmup import replay
-        replay(block=False)
+        if self.config.warm_start:
+            from .utils.warmup import replay
+            replay(block=False)
         self.check_preprocess_data()
         if self.out_folder is None:
             return  # inputs incomplete; check_preprocess_data printed why
@@ -176,10 +179,23 @@ class MaD:
 
         self._warm_start(key)
 
-        # Map and subunit describe chains are independent; cache misses run
-        # on a small thread pool so their host-relay syncs overlap
-        # (engine/pipeline.describe_many). h5 saves stay on this thread.
-        jobs = []
+        # Map, subunit and ensemble-frame describe chains are independent;
+        # cache misses run on a small thread pool so their host-relay syncs
+        # overlap (engine/pipeline.describe_many; serialized again above the
+        # HBM guard). h5 saves stay on this thread.
+        from .ops.simulate import simulated_shape
+        jobs = []          # (key, h5 path, fn, est. voxels, keep_path_only)
+
+        def queue_pdb(k, path, pdb_path, keep_path_only):
+            try:
+                shp = simulated_shape(
+                    parse_pdb(pdb_path).coords, self.resolution, self.voxsp,
+                    shape_bucket=self.config.shape_bucket)
+                vox = int(np.prod(shp))
+            except Exception:
+                vox = 0
+            jobs.append((k, path, functools.partial(
+                self._describe_pdb, pdb_path, k), vox, keep_path_only))
 
         # map
         path = key(self.map_name)
@@ -190,7 +206,8 @@ class MaD:
         else:
             print(f"\nMaD> Processing map {self.map_name}")
             jobs.append(("", path, lambda: describe_grid(
-                self.dmap, cfg, name=self.map_name, mesh=self.mesh)))
+                self.dmap, cfg, name=self.map_name, mesh=self.mesh),
+                int(np.prod(self.dmap.shape)), False))
 
         # subunits
         for k, (pdb_path, _n) in self.processed_subunits.items():
@@ -202,30 +219,35 @@ class MaD:
             else:
                 print(f"\nMaD> Processing subunit {k}")
                 self.dsc_dict[k] = None      # placeholder keeps dict order
-                jobs.append((k, path, functools.partial(
-                    self._describe_pdb, pdb_path, k)))
-
-        if jobs:
-            from .engine.pipeline import describe_many
-            for (k, path, _fn), ds in zip(
-                    jobs, describe_many([j[2] for j in jobs])):
-                dsc_cache.save_descriptors(ds, path)
-                if k:
-                    self.dsc_dict[k] = ds
-                else:
-                    self.map_dsc = ds
+                queue_pdb(k, path, pdb_path, False)
 
         # ensembles: store the cache path per frame (memory-friendly,
-        # parity mad/MaD.py:158-162)
+        # parity mad/MaD.py:158-162); cache-miss frames run through the
+        # same pool as subunits so a 7-frame ensemble costs ~max(frame),
+        # not sum(frames), of relay latency.
         for ek, ensemble in self.processed_ensembles.items():
             print(f"\nMaD> Describing ensemble {ek}")
             for fk, (pdb_path, _n) in ensemble.items():
                 path = key(fk)
-                if not os.path.exists(path):
+                if os.path.exists(path):
+                    self.dsc_dict[fk] = path
+                else:
                     print(f"MaD> Describing {ek}-{fk}")
-                    ds = self._describe_pdb(pdb_path, fk)
-                    dsc_cache.save_descriptors(ds, path)
-                self.dsc_dict[fk] = path
+                    self.dsc_dict[fk] = path
+                    queue_pdb(fk, path, pdb_path, True)
+
+        if jobs:
+            from .engine.pipeline import describe_many
+            for (k, path, _fn, _vox, path_only), ds in zip(
+                    jobs, describe_many([j[2] for j in jobs],
+                                        voxels=[j[3] for j in jobs])):
+                dsc_cache.save_descriptors(ds, path)
+                if path_only:
+                    pass                     # dsc_dict already holds path
+                elif k:
+                    self.dsc_dict[k] = ds
+                else:
+                    self.map_dsc = ds
 
     def _warm_start(self, key) -> None:
         """Kick off concurrent AOT compilation of the describe-side
@@ -320,6 +342,7 @@ class MaD:
                   f"from {len(sol_files)} solutions...")
             tuples, sums, stds, maxs = asm.enumerate_homomultimer(
                 len(sol_files), n_copies, overlap)
+        enum_notes = asm.pop_enum_notes()
 
         if not homomultimer:
             valid = []
@@ -338,7 +361,7 @@ class MaD:
 
         models = asm.score_models(tuples, sums, stds, maxs, structures,
                                   self.dmap, acfg, max_models, max_overlap)
-        self._report_models(models, out_dir, structures)
+        self._report_models(models, out_dir, structures, enum_notes)
 
     def _build_models(self, sub_sol: Dict[str, List[str]], max_models: int,
                       max_overlap: float) -> None:
@@ -353,13 +376,15 @@ class MaD:
         overlap = asm.solution_overlap(structures, acfg)
         self._print_overlap_table(overlap, "+".join(sub_sol))
         tuples, sums, stds, maxs = asm.enumerate_heteromer(groups, overlap)
+        enum_notes = asm.pop_enum_notes()
         out_dir = os.path.join(self.out_folder, "assembly_models")
         os.makedirs(out_dir, exist_ok=True)
         models = asm.score_models(tuples, sums, stds, maxs, structures,
                                   self.dmap, acfg, max_models, max_overlap)
-        self._report_models(models, out_dir, structures)
+        self._report_models(models, out_dir, structures, enum_notes)
 
-    def _report_models(self, models, out_dir, structures) -> None:
+    def _report_models(self, models, out_dir, structures,
+                       enum_notes=()) -> None:
         header = "    # |   CC   | Sum(O) | Std(O) | Max(O) | Composition"
         print("MaD> Final models docked in map %s: \n" % self.map_name)
         print(header)
@@ -376,10 +401,16 @@ class MaD:
                          m.max_overlap, [str(c) for c in m.components]])
         print("-" * len(header))
         if rows:
+            path = os.path.join(self.out_folder, "complex_ranking.csv")
             _write_csv(
-                os.path.join(self.out_folder, "complex_ranking.csv"),
-                rows,
+                path, rows,
                 ["#", "CC", "Sum(O)", "Std(O)", "Max(O)", "Composition"])
+            if enum_notes:
+                # enumeration-restriction metadata as trailing comments so
+                # a truncated search never reads as exhaustive
+                with open(path, "a") as fh:
+                    for note in enum_notes:
+                        fh.write(f"# {note}\n")
 
     def _print_overlap_table(self, overlap, key) -> None:
         print(f"MaD> Pairwise overlaps between solutions of {key}:\n")
@@ -631,6 +662,11 @@ class MaD:
                              f"anchor_{target}_{identifier}.pdb"),
                 res_name="ANC", chain="A",
                 bfactors=np.arange(len(arr)) / len(arr), elem="C")
+            # raw-array dump next to the pseudo-PDB (the reference saves
+            # both, mad/Detector.py:47-49,135-136): columns x, y, z, bin
+            np.save(os.path.join(anchor_path,
+                                 f"anchor_{target}_{identifier}.npy"),
+                    np.concatenate([coords, bins[:, None]], axis=1))
             ori = coords - eqsp.c_centers[bins] * 10.0
             with open(os.path.join(
                     anchor_path,

@@ -62,6 +62,49 @@ class AnchorRecord:
         return text
 
 
+_ANCHOR_DTYPE = np.dtype([
+    ("index", "i4"), ("octave", "i4"), ("coords", "f8", 3),
+    ("map_coords", "f8", 3), ("subv_map_coords", "f8", 3),
+    ("main_bin", "i4"), ("sec_bin", "i4")])
+
+
+def write_anchors(ds: DescriptorSet, outname: str,
+                  save_regular: bool = False) -> None:
+    """Dump a descriptor set's anchors as ``<outname>_data.npy`` (structured
+    array, one record per anchor) plus ``<outname>.pdb`` dummy atoms for
+    visualization — the reference's Detector I/O surface
+    (mad/Detector.py:47-49, write_df_to_file :135-136, write_df_to_pdb
+    :145-189; save_regular adds the on-lattice coordinates as chain B)."""
+    rec = np.zeros(ds.n, dtype=_ANCHOR_DTYPE)
+    rec["index"] = ds.anchor_id
+    rec["octave"] = ds.octave
+    rec["coords"] = ds.coords
+    rec["map_coords"] = ds.map_coords
+    rec["subv_map_coords"] = ds.subv_coords
+    rec["main_bin"] = ds.main_bin
+    rec["sec_bin"] = ds.sec_bin
+    np.save(outname + "_data.npy", rec)
+    coords = ds.subv_coords
+    res = ["SUB"] * ds.n
+    chain = ["A"] * ds.n
+    if save_regular:
+        coords = np.concatenate([coords, ds.map_coords])
+        res += ["ORI"] * ds.n
+        chain += ["B"] * ds.n
+    from .core.structure import _atom_line
+    with open(outname + ".pdb", "w") as fh:
+        for i, xyz in enumerate(np.asarray(coords)):
+            fh.write(_atom_line("ATOM", i + 1, "O", res[i], chain[i],
+                                i + 1, xyz, "O", occ=1.0, bfac=0.0) + "\n")
+
+
+def load_anchors(path: str) -> np.ndarray:
+    """Load a ``write_anchors`` dump (parity mad/Detector.py:139-142)."""
+    rec = np.load(path, allow_pickle=False)
+    print("Det> Loaded %i anchors." % len(rec))
+    return rec
+
+
 def to_records(ds: DescriptorSet) -> List[AnchorRecord]:
     """Expand a DescriptorSet into per-anchor records."""
     return [

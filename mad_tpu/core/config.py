@@ -118,8 +118,9 @@ class FilterConfig:
     # solution get a fresh n_samples clustering budget under the SAME
     # weight/repeat gates (repeat gate relative to the full table's best).
     # Recovers marginal copies whose pairs rank below the first-round
-    # cutoff; 0 = reference behavior.
-    rescue_rounds: int = 1
+    # cutoff. Defaults to 0 = reference-parity output; opt in with 1+
+    # (bench.py and scripts/stress_large.py do).
+    rescue_rounds: int = 0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -183,10 +184,12 @@ class MadConfig:
         cc_threshold: float = 0.6,
         weight_threshold: int = 4,
         n_samples: int = 60,
+        base: "MadConfig" = None,
     ) -> "MadConfig":
         """Build a config from the reference ``run()`` kwarg surface
-        (parity with mad/MaD.py:87)."""
-        base = MadConfig()
+        (parity with mad/MaD.py:87). ``base`` supplies every knob the
+        kwarg surface does not cover (defaults to a fresh MadConfig)."""
+        base = base or MadConfig()
         return base.replace(
             scalespace=dataclasses.replace(
                 base.scalespace,

@@ -40,6 +40,24 @@ class AssemblyModel:
     max_overlap: float
 
 
+# Every enumeration restriction is announced (no silent coverage caps): the
+# notes print as MaD> lines and accumulate here so the orchestrator can
+# surface them in complex_ranking.csv metadata.
+_enum_notes: List[str] = []
+
+
+def _note(msg: str) -> None:
+    print(msg)
+    _enum_notes.append(msg)
+
+
+def pop_enum_notes() -> List[str]:
+    """Drain the enumeration-restriction notes recorded since the last call."""
+    out = list(_enum_notes)
+    _enum_notes.clear()
+    return out
+
+
 def _overlap_matrix(grids: Sequence[DensityGrid], cfg: AssemblyConfig,
                     isovalue: float = 1e-8) -> np.ndarray:
     """Pairwise overlap fractions (upper triangular, parity
@@ -343,27 +361,39 @@ def enumerate_homomultimer(n_solutions: int, n_copies: int,
     ``head`` best tuples are materialized: the max-overlap reduction over
     every tuple runs on device, the full host sort never happens. When
     C(n_solutions, n_copies) exceeds ``max_combinations`` the enumeration
-    restricts to the best-ranked solutions (they arrive sorted by RWmCC).
+    restricts to the best-ranked solutions (they arrive sorted by RWmCC)
+    and says so (every restriction prints + records a note, pop_enum_notes).
     """
     import math
     import jax.numpy as jnp
     from ..core.config import bucket
+    n_orig = n_solutions
     n_copies = min(n_copies, n_solutions)
     while (n_solutions > n_copies
            and math.comb(n_solutions, n_copies) > max_combinations):
         n_solutions -= 1
+    if n_solutions < n_orig:
+        _note(f"MaD> enumeration restricted to the top {n_solutions} of "
+              f"{n_orig} solutions (keeps C(n,{n_copies}) <= "
+              f"{max_combinations:,} combinations)")
     if n_copies == 1:
         tuples = np.arange(n_solutions)[:, None]
         z = np.zeros(len(tuples))
         return tuples, z, z, z
-    if math.comb(n_solutions, n_copies) <= 4 * head:
+    # Host path enumerates ALL C(n, k) tuples; solution counts above the
+    # device unranking frame (_ENUM_NMAX) always take it, so no tuple is
+    # ever dropped by the frame cap (at n > 64 the max_combinations trim
+    # bounds k <= 4, cheap on host).
+    if (math.comb(n_solutions, n_copies) <= 4 * head
+            or n_solutions > _ENUM_NMAX):
         tuples = _all_combinations(n_solutions, n_copies)
         s, sd, mx = _score_tuples(tuples, overlap)
         order = np.argsort(mx, kind="stable")
         return tuples[order], s[order], sd[order], mx[order]
 
-    if n_solutions > _ENUM_NMAX:        # frame cap; solutions arrive sorted
-        n_solutions = _ENUM_NMAX
+    _note(f"MaD> enumeration ranking computed on device; materializing the "
+          f"best {head} of {math.comb(n_solutions, n_copies):,} tuples "
+          "(model building consumes the ranking head only)")
     sym = np.zeros((_ENUM_NMAX, _ENUM_NMAX), np.float32)
     ov_n = overlap[:n_solutions, :n_solutions]
     sym[:n_solutions, :n_solutions] = ov_n + ov_n.T
@@ -459,12 +489,21 @@ def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
     tuple indices decode and score on device, the full cartesian product
     never exists in host memory. When the product exceeds
     ``max_combinations`` the largest groups trim to their best-ranked
-    entries (lists arrive ranking-sorted)."""
+    entries (lists arrive ranking-sorted) and the trim is announced
+    (printed + recorded, pop_enum_notes)."""
     lists = [np.asarray(v) for v in groups.values()]
     sizes = [len(v) for v in lists]
+    sizes0 = list(sizes)
     while int(np.prod(sizes)) > max_combinations and max(sizes) > 1:
         g = int(np.argmax(sizes))
         sizes[g] -= 1
+    if sizes != sizes0:
+        trimmed = ", ".join(
+            f"{k}: {a}->{b}" for k, a, b in zip(groups, sizes0, sizes)
+            if a != b)
+        _note(f"MaD> enumeration restricted to the best-ranked entries per "
+              f"component ({trimmed}; keeps the cartesian product <= "
+              f"{max_combinations:,} combinations)")
     lists = [lv[:s] for lv, s in zip(lists, sizes)]
     m = int(np.prod(sizes))
 
@@ -478,6 +517,9 @@ def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
         return gather[order], s[order], sd[order], mx[order]
 
     import jax.numpy as jnp
+    _note(f"MaD> enumeration ranking computed on device; materializing the "
+          f"best {head} of {m:,} tuples (model building consumes the "
+          "ranking head only)")
     max_n = max(sizes)
     lists_p = np.zeros((len(sizes), max_n), dtype=np.int32)
     for g, lv in enumerate(lists):

@@ -229,16 +229,31 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         name=name or grid.name, **cat)
 
 
-def describe_many(jobs, max_workers: int = 2):
+# Concurrent describe chains each keep one octave's LoG/gradient field
+# live; above this combined voxel count (two largest jobs) the chains run
+# serially so the streamed-octave "one field at a time" HBM guarantee
+# holds for 300^3+ maps on 16 GB chips.
+SERIAL_DESCRIBE_VOXELS = 250_000_000
+
+
+def describe_many(jobs, max_workers: int = 2, voxels=None):
     """Run independent describe chains on a small thread pool.
 
     Each job is a zero-arg callable returning a DescriptorSet. The device
     serializes the actual kernels, but every host round trip through the
     tunneled relay (~100 ms each: anchor counts, lane counts, the final
     pull) overlaps with the other chain's device work instead of
-    serializing the whole pipeline. Results return in job order."""
+    serializing the whole pipeline. Results return in job order.
+
+    voxels: optional per-job working-volume estimates (padded grid voxel
+    counts); when the two largest sum past SERIAL_DESCRIBE_VOXELS the jobs
+    run serially — threading trades peak HBM for relay-latency hiding."""
     import concurrent.futures as cf
-    if len(jobs) <= 1:
+    if voxels is not None and len(jobs) > 1:
+        big = sorted(int(v) for v in voxels)[-2:]
+        if sum(big) > SERIAL_DESCRIBE_VOXELS:
+            max_workers = 1
+    if len(jobs) <= 1 or max_workers <= 1:
         return [j() for j in jobs]
     with cf.ThreadPoolExecutor(max_workers=max_workers) as ex:
         futs = [ex.submit(j) for j in jobs]

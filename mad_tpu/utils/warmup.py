@@ -35,11 +35,22 @@ from ..core.config import MadConfig, bucket
 # so recurring shapes — including data-dependent ones no predictive warm
 # can know — pay their compile/cache-load round-trips concurrently instead
 # of serially at first use.
+#
+# The compiled executables replay produces are kept in an in-process cache
+# keyed by (platform, factory, static args, value-masked call signature);
+# the @warmable proxy calls them DIRECTLY when a call's signature matches.
+# Without this, the first real call of each program re-lowers and pays a
+# fresh compile-service round trip even though replay already compiled the
+# identical program (jit's dispatch cache does not share lower().compile()
+# results) — ~100+ s of first-pass latency on tunneled TPU hosts.
 # ---------------------------------------------------------------------------
 
-_MANIFEST_MAX = 256
+_MANIFEST_MAX = 192        # per backend platform (cpu test runs must not
+                           # evict the tpu bench inventory)
 _manifest_lock = threading.Lock()
 _manifest_mem: Optional[dict] = None
+
+_exe_cache: dict = {}      # masked key -> compiled executable (GIL-atomic)
 
 
 def _manifest_path() -> str:
@@ -120,12 +131,35 @@ def _abstract_of(sig):
     return out
 
 
+def _masked(sig) -> list:
+    """Call signature with scalar VALUES masked to their dtype: scalars are
+    dynamic (traced) inputs, so one compiled executable serves every value
+    — the executable-reuse key must not split on them."""
+    out = []
+    for s in sig:
+        if s[0] == "arr":
+            out.append(s)
+        elif s[0] == "np":
+            out.append(["np", s[1]])
+        else:
+            out.append(["py", type(s[1]).__name__])
+    return out
+
+
+def _exe_key(platform, qual, fargs, fkwargs, masked_sig) -> str:
+    return json.dumps([platform, qual, _listify(list(fargs)),
+                       {k: _listify(v) for k, v in sorted(fkwargs.items())},
+                       masked_sig])
+
+
 class _WarmProxy:
     """Callable wrapper around a jitted program that records its first call
-    signature into the manifest. Delegates everything else."""
+    signature into the manifest and routes matching calls through the
+    executables ``replay()`` already compiled (skipping jit's re-lower +
+    compile-service round trip on first use). Delegates everything else."""
 
     __slots__ = ("_fn", "_qual", "_args", "_kwargs", "_recorded",
-                 "__weakref__")
+                 "_platform", "__weakref__")
 
     def __init__(self, fn, qual, args, kwargs):
         self._fn = fn
@@ -133,23 +167,41 @@ class _WarmProxy:
         self._args = args
         self._kwargs = kwargs
         self._recorded = False
+        self._platform = None
 
     def __call__(self, *a, **kw):
-        if not self._recorded and not kw:
-            self._recorded = True
+        if not kw:
             sig = _sig_of(a)
             if sig is not None:
-                _record(self._qual, self._args, self._kwargs, sig)
+                if self._platform is None:
+                    try:
+                        self._platform = jax.default_backend()
+                    except Exception:
+                        self._platform = ""
+                if not self._recorded:
+                    self._recorded = True
+                    _record(self._qual, self._args, self._kwargs, sig,
+                            self._platform)
+                key = _exe_key(self._platform, self._qual, self._args,
+                               self._kwargs, _masked(sig))
+                exe = _exe_cache.get(key)
+                if exe is not None and jax.config.jax_debug_nans:
+                    exe = None      # sanitizer mode needs the dispatch path
+                if exe is not None:
+                    try:
+                        return exe(*a)
+                    except Exception:
+                        # aval/layout drift: drop the stale executable and
+                        # fall through to the ordinary dispatch path
+                        _exe_cache.pop(key, None)
         return self._fn(*a, **kw)
 
     def __getattr__(self, name):
         return getattr(self._fn, name)
 
 
-def _record(qual: str, fargs, fkwargs, sig) -> None:
-    try:
-        platform = jax.default_backend()
-    except Exception:
+def _record(qual: str, fargs, fkwargs, sig, platform: str) -> None:
+    if not platform:
         return
     key = json.dumps([platform, qual, _listify(list(fargs)),
                       {k: _listify(v) for k, v in sorted(fkwargs.items())},
@@ -159,8 +211,12 @@ def _record(qual: str, fargs, fkwargs, sig) -> None:
         if key in man:
             return
         man[key] = True
-        while len(man) > _MANIFEST_MAX:
-            man.pop(next(iter(man)))
+        # evict oldest entries of the SAME platform only: cpu test runs
+        # must never push the tpu bench inventory out of the manifest
+        mine = [k for k in man if json.loads(k)[0] == platform]
+        drop = len(mine) - _MANIFEST_MAX
+        for k in mine[:max(0, drop)]:
+            man.pop(k)
         _flush_manifest(man)
 
 
@@ -197,17 +253,26 @@ def replay(max_workers: int = 8, block: bool = False):
         man = dict(_load_manifest())
     jobs = []
     stale = []
+    seen = set()
     for key in man:
         try:
             plat, qual, fargs, fkwargs, sig = json.loads(key)
             if plat != platform:
                 continue
+            ekey = _exe_key(plat, qual, _tuplify(fargs),
+                            {k: _tuplify(v) for k, v in fkwargs.items()},
+                            _masked(sig))
+            if ekey in seen or ekey in _exe_cache:
+                continue
+            seen.add(ekey)
             mod_name, fn_name = qual.split(":")
             mod = importlib.import_module(mod_name)
             factory = getattr(mod, fn_name)
             fn = factory(*_tuplify(fargs),
                          **{k: _tuplify(v) for k, v in fkwargs.items()})
-            jobs.append((fn, _abstract_of(sig)))
+            if isinstance(fn, _WarmProxy):
+                fn = fn._fn
+            jobs.append((fn, _abstract_of(sig), ekey))
         except Exception:
             stale.append(key)
     if stale:
@@ -219,16 +284,31 @@ def replay(max_workers: int = 8, block: bool = False):
 
     if not jobs:
         return []
+    # compile in pipeline order so the stage that runs first has its
+    # executables ready first (replay races the actual run)
+    order = ["simulate", "scalespace", "detect", "orient", "describe",
+             "match", "refine", "score", "assemble"]
+
+    def prio(job):
+        q = job[2]
+        for i, name in enumerate(order):
+            if name in q:
+                return i
+        return len(order)
+
+    jobs.sort(key=prio)
     pool = cf.ThreadPoolExecutor(max_workers=max_workers)
 
-    def compile_one(fn, abstract):
+    def compile_one(fn, abstract, ekey):
         try:
-            fn.lower(*abstract).compile()
+            # the compiled executable is served back to matching proxy
+            # calls (first use skips the re-lower + service round trip)
+            _exe_cache[ekey] = fn.lower(*abstract).compile()
         except Exception:
             pass
 
-    futures = [pool.submit(compile_one, fn, abstract)
-               for fn, abstract in jobs]
+    futures = [pool.submit(compile_one, fn, abstract, ekey)
+               for fn, abstract, ekey in jobs]
     pool.shutdown(wait=False)
     if block:
         cf.wait(futures)
@@ -323,6 +403,10 @@ def warm_pipeline(grid_shapes: Iterable[Tuple[int, int, int]],
     a thread pool. Returns the executor's futures; with block=True waits
     and surfaces the first failure."""
     cfg = cfg or MadConfig()
+    try:
+        platform = jax.default_backend()
+    except Exception:
+        platform = ""
     seen = set()
     jobs = []
     for shape in grid_shapes:
@@ -332,11 +416,29 @@ def warm_pipeline(grid_shapes: Iterable[Tuple[int, int, int]],
             if key in seen:
                 continue
             seen.add(key)
-            jobs.append((fn, abstract))
+            # predictive compiles feed the same executable cache replay
+            # uses, so the pipeline's first calls skip the service too
+            ekey = None
+            if isinstance(fn, _WarmProxy) and platform:
+                sig = _sig_of(abstract)
+                if sig is not None:
+                    ekey = _exe_key(platform, fn._qual, fn._args,
+                                    fn._kwargs, _masked(sig))
+                    if ekey in _exe_cache:
+                        continue
+                fn = fn._fn
+            jobs.append((fn, abstract, ekey))
 
     pool = cf.ThreadPoolExecutor(max_workers=max_workers)
-    futures = [pool.submit(lambda f=fn, a=abstract: f.lower(*a).compile())
-               for fn, abstract in jobs]
+
+    def compile_one(fn, abstract, ekey):
+        exe = fn.lower(*abstract).compile()
+        if ekey is not None:
+            _exe_cache[ekey] = exe
+        return exe
+
+    futures = [pool.submit(compile_one, fn, abstract, ekey)
+               for fn, abstract, ekey in jobs]
     pool.shutdown(wait=False)
     if block:
         for f in futures:

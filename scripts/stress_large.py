@@ -23,10 +23,15 @@ def main():
     n_res = int(sys.argv[2]) if len(sys.argv) > 2 else 260
     spread = float(sys.argv[3]) if len(sys.argv) > 3 else 165.0
 
+    import dataclasses
     from mad_tpu.core.config import MadConfig
     from mad_tpu.utils.warmup import replay
 
     cfg = MadConfig()
+    # rescue rounds (opt-in capability) recover the marginal copies the
+    # first-round budget misses on this over-packed shell
+    cfg = cfg.replace(filter=dataclasses.replace(cfg.filter,
+                                                 rescue_rounds=1))
     replay(block=False)
     t0 = time.time()
     sub, copies, dmap = bench.build_system(

@@ -58,6 +58,17 @@ def test_full_session(system, session):
     sols_dir = os.path.join(out, "individual_solutions")
     assert any(f.startswith("sol_") for f in os.listdir(sols_dir))
     assert os.path.isdir(os.path.join(sols_dir, "anchor_files"))
+    # anchor dumps come in both pseudo-PDB and raw .npy form
+    # (parity mad/Detector.py:47-49)
+    anchor_files = os.listdir(os.path.join(sols_dir, "anchor_files"))
+    for target in ("hi", "lo"):
+        pdbs = [f for f in anchor_files
+                if f.startswith(f"anchor_{target}_") and f.endswith(".pdb")]
+        npys = [f for f in anchor_files
+                if f.startswith(f"anchor_{target}_") and f.endswith(".npy")]
+        assert pdbs and len(npys) == len(pdbs)
+        arr = np.load(os.path.join(sols_dir, "anchor_files", npys[0]))
+        assert arr.ndim == 2 and arr.shape[1] == 4     # x, y, z, bin
     # descriptor cache populated and reusable
     db = os.path.join(str(root), "dsc_db")
     assert len(os.listdir(db)) >= 2

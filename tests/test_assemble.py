@@ -154,6 +154,59 @@ def test_homomultimer_device_head_matches_bruteforce():
     np.testing.assert_allclose(s_dev, s_f[order][:32], atol=1e-6)
 
 
+def test_enumeration_trim_is_announced(capsys):
+    """Above 5M combinations the restriction to the top-N solutions prints
+    and is recorded for CSV metadata (no silent coverage caps; the
+    reference enumerates everything, mad/MaD.py:686-694)."""
+    import math
+    rng = np.random.default_rng(9)
+    n_sol, k = 40, 10                  # C(40, 10) = 847,660,528 > 5M cap
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.3, k=1)
+    asm.pop_enum_notes()
+    tuples, _s, _sd, _mx = asm.enumerate_homomultimer(n_sol, k, ov)
+    out = capsys.readouterr().out
+    assert "MaD> enumeration restricted to the top" in out
+    notes = asm.pop_enum_notes()
+    assert any("restricted to the top" in n for n in notes)
+    # the trim kept C(n, k) under the cap
+    n_kept = int(notes[0].split("restricted to the top ")[1].split()[0])
+    assert math.comb(n_kept, k) <= 5_000_000 < math.comb(n_kept + 1, k)
+
+
+def test_heteromer_trim_is_announced(capsys):
+    """Cartesian products above the cap trim the largest groups and say
+    so (mad/MaD.py:799-805 enumerates all)."""
+    rng = np.random.default_rng(13)
+    n_sol = 36
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.2, k=1)
+    groups = {f"s{g}": list(range(g * 12, (g + 1) * 12)) for g in range(3)}
+    asm.pop_enum_notes()
+    tuples, _s, _sd, _mx = asm.enumerate_heteromer(
+        groups, ov, max_combinations=1000)      # 12^3 = 1728 > 1000
+    out = capsys.readouterr().out
+    assert "MaD> enumeration restricted to the best-ranked" in out
+    assert asm.pop_enum_notes()
+
+
+def test_above_frame_cap_enumerates_all():
+    """Solution counts above the 64-slot device frame fall back to
+    exhaustive host enumeration instead of silently truncating to the 64
+    best-ranked solutions (ADVICE r2 medium)."""
+    import math
+    rng = np.random.default_rng(10)
+    n_sol, k = 70, 2
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.3, k=1)
+    asm.pop_enum_notes()
+    tuples, _s, _sd, mx = asm.enumerate_homomultimer(n_sol, k, ov)
+    assert len(tuples) == math.comb(n_sol, k)
+    assert tuples.max() == n_sol - 1            # no solution dropped
+    t_full = asm._all_combinations(n_sol, k)
+    _sf, _sdf, mx_f = asm._score_tuples(t_full, ov)
+    order = np.argsort(mx_f, kind="stable")
+    np.testing.assert_array_equal(tuples, t_full[order])
+    assert not asm.pop_enum_notes()             # nothing was restricted
+
+
 def test_homomultimer_device_head_multi_chunk():
     """Rank space larger than one 16k chunk: running top-head merge across
     chunks still matches exhaustive enumeration (C(25,6) = 177,100)."""

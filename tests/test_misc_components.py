@@ -83,6 +83,74 @@ def test_compat_records():
     assert "DF @o=0" in recs[0].show()
 
 
+def test_compat_anchor_dump_roundtrip(tmp_path):
+    from mad_tpu.compat import write_anchors, load_anchors
+    from mad_tpu.engine.pipeline import DescriptorSet
+    n = 4
+    rng = np.random.default_rng(3)
+    ds = DescriptorSet(
+        desc=np.ones((n, 1024), np.int16),
+        desc_norm=np.ones((n, 1024), np.float32) / 32.0,
+        coords=rng.random((n, 3)).astype(np.float32),
+        map_coords=rng.random((n, 3)), subv_coords=rng.random((n, 3)),
+        rfinal=np.broadcast_to(np.eye(3, dtype=np.float32), (n, 3, 3)),
+        octave=np.zeros(n, np.int32), anchor_id=np.arange(n, dtype=np.int32),
+        main_bin=np.arange(n, dtype=np.int32),
+        sec_bin=np.ones(n, np.int32))
+    out = str(tmp_path / "anchors")
+    write_anchors(ds, out, save_regular=True)
+    rec = load_anchors(out + "_data.npy")
+    assert len(rec) == n
+    np.testing.assert_allclose(rec["subv_map_coords"], ds.subv_coords)
+    np.testing.assert_array_equal(rec["main_bin"], ds.main_bin)
+    with open(out + ".pdb") as fh:
+        lines = fh.read().splitlines()
+    assert len(lines) == 2 * n            # chain A (subv) + chain B (grid)
+
+
+def test_config_survives_run_kwargs():
+    """run() rebuilds the config from kwargs but keeps construction-time
+    knobs the kwarg surface does not cover (ADVICE r2)."""
+    import dataclasses
+    from mad_tpu.core.config import MadConfig
+    base = MadConfig(warm_start=False)
+    base = base.replace(filter=dataclasses.replace(base.filter,
+                                                   rescue_rounds=2))
+    cfg = MadConfig.from_run_kwargs(n_samples=99, base=base)
+    assert cfg.warm_start is False
+    assert cfg.filter.rescue_rounds == 2
+    assert cfg.filter.n_samples == 99
+    # default remains reference parity: no rescue rounds
+    assert MadConfig().filter.rescue_rounds == 0
+
+
+def test_describe_many_memory_guard():
+    """Concurrent describe chains serialize when the combined working
+    volumes would break the one-field-at-a-time HBM guarantee."""
+    import threading
+    from mad_tpu.engine.pipeline import describe_many
+
+    active = []
+    peak = []
+    lock = threading.Lock()
+
+    def job():
+        import time
+        with lock:
+            active.append(1)
+            peak.append(len(active))
+        time.sleep(0.02)
+        with lock:
+            active.pop()
+        return "ok"
+
+    out = describe_many([job, job], voxels=[200_000_000, 200_000_000])
+    assert out == ["ok", "ok"] and max(peak) == 1     # serialized
+    peak.clear()
+    out = describe_many([job, job], voxels=[1_000, 1_000])
+    assert out == ["ok", "ok"]                        # threaded path runs
+
+
 def test_matching_cache_roundtrip(tmp_path):
     from mad_tpu import cache
     from mad_tpu.engine.match import MatchTable

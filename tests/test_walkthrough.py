@@ -13,6 +13,8 @@ import pytest
 
 NB = os.path.join(os.path.dirname(__file__), "..", "docs",
                   "WALKTHROUGH.ipynb")
+TEMPLATE = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "TEMPLATE.ipynb")
 
 
 @pytest.mark.slow
@@ -36,3 +38,23 @@ def test_walkthrough_notebook_runs(tmp_path, monkeypatch):
             ) from e
     # the minimal example recovered the fit (asserted inside cell 3 too)
     assert ns["rankings"]
+
+
+@pytest.mark.slow
+def test_template_notebook_runs(tmp_path, monkeypatch):
+    """The blank-slate user template (docs/TEMPLATE.ipynb, mirroring the
+    reference's MaD_template.ipynb) executes end to end on its demo
+    inputs."""
+    monkeypatch.setenv("MAD_TEMPLATE_DIR", str(tmp_path / "tpl"))
+    monkeypatch.chdir(tmp_path)
+    with open(TEMPLATE) as fh:
+        nb = json.load(fh)
+    code_cells = ["".join(c["source"]) for c in nb["cells"]
+                  if c["cell_type"] == "code"]
+    assert len(code_cells) >= 2
+    ns = {"__name__": "__template__"}
+    for i, src in enumerate(code_cells):
+        exec(compile(src, f"template-cell-{i}", "exec"), ns)
+    mad = ns["mad"]
+    assert mad.solutions and mad.out_folder
+    assert os.path.isdir(os.path.join(mad.out_folder, "assembly_models"))
