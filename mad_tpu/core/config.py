@@ -35,15 +35,20 @@ except Exception:  # pragma: no cover - older jax without the option
 
 
 def set_nan_checks(enabled: bool = True) -> None:
-    """Opt-in numerical sanitizer (SURVEY §5): when enabled, every jitted
+    """Global numerical sanitizer (SURVEY §5): when enabled, every jitted
     stage re-runs un-jitted on the first NaN/inf and raises at the exact
     primitive that produced it. Costs recompiles + checks on each call, so
-    it is debug-only — also reachable via ``MAD_TPU_NANCHECK=1``."""
+    it is debug-only — reachable via ``MAD_TPU_NANCHECK=global``.
+
+    ``MAD_TPU_NANCHECK=1`` enables the cheaper STAGE mode instead
+    (utils/sanitize.py): async isfinite reductions folded into the
+    pipeline's consolidated host pulls localize a NaN to its stage with no
+    recompiles; use =global afterwards to find the primitive."""
     jax.config.update("jax_debug_nans", bool(enabled))
     jax.config.update("jax_debug_infs", bool(enabled))
 
 
-if _os.environ.get("MAD_TPU_NANCHECK", "") not in ("", "0"):
+if _os.environ.get("MAD_TPU_NANCHECK", "").lower() in ("global", "2"):
     set_nan_checks(True)
 
 

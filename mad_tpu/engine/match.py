@@ -33,6 +33,7 @@ except ImportError:  # older jax
 from ..core.config import MatchConfig, bucket
 from ..parallel.mesh import batch_bucket, mesh_axis
 from ..utils.profiling import stage
+from ..utils import sanitize
 from .pipeline import DescriptorSet
 from ..utils.warmup import warmable
 
@@ -252,6 +253,7 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
                                   float(cfg.cc_threshold))
     with stage("match.similarity"):
         ccs, rows, cols, ok = jax.device_get(sim_fn(hi, lo))
+    sanitize.check_host("match.similarity", ccs)
     ok = ok & (rows < sub_set.n) & (cols < map_set.n)
     keep = np.nonzero(ok)[0]
     if len(keep) == 0:
@@ -350,6 +352,7 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     else:
         rep = np.asarray(rep_d)[: len(rows)]
 
+    sanitize.check_host("match.repeat", rep)
     order = np.argsort(-rep, kind="stable")
     return MatchTable(
         cc=ccs[order], repeat=rep[order], hi_idx=rows[order],

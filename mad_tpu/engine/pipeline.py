@@ -24,6 +24,7 @@ from ..ops.detect import detect_anchors
 from ..ops.orient import orient_anchors
 from ..ops.describe import describe_anchors
 from ..utils.profiling import stage
+from ..utils import sanitize
 
 
 @dataclass
@@ -65,19 +66,18 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                   mesh=None) -> DescriptorSet:
     """Run the full anchor/orientation/descriptor chain on a density grid.
 
-    mesh: optional device mesh (multi-chip). Layout: the scale-space filter
-    programs run on the spatially sharded volume (SP via GSPMD halos); the
-    volume is re-replicated (one ICI all-gather per octave) for the
-    gather-heavy stages; anchors and oriented lanes shard across devices
-    (DP via shard_map of the same kernels the single-device path uses)."""
+    mesh: optional device mesh — CAPACITY mode (multi-chip): the LoG and
+    gradient volumes stay x-slab-sharded through every stage; no device
+    ever materializes a full field. Detection merges per-slab top-K peak
+    lists into a replicated anchor table (tiny); orientation and
+    description run the same kernels per device on the anchors/lanes whose
+    patches that slab owns, gathering from halo-extended local blocks
+    (parallel/volume.halo_extend). Results equal the single-device run
+    row for row."""
     import dataclasses as _dc
-    from ..parallel.mesh import batch_bucket, mesh_size, replicated
 
     det_cfg = cfg.detect
-    if mesh is not None:
-        det_cfg = _dc.replace(det_cfg, max_anchors=batch_bucket(
-            det_cfg.max_anchors, 128, mesh))
-    cap_step = 128 * mesh_size(mesh)
+    cap_step = 128
 
     rows = []
     pending = []
@@ -99,25 +99,34 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             # LoG builds, detection runs, then the volume frees before the
             # gradient field builds (peak memory = one field at a time).
             log_vol = octv.log()
-            if mesh is not None:
-                # localization gathers want the full volume local
-                log_vol = jax.device_put(log_vol, replicated(mesh))
-            anch = detect_anchors(log_vol, octv.real_shape, det_cfg)
+            sanitize.watch(f"scalespace.log[o{oi}]", log_vol)
+            anch = detect_anchors(log_vol, octv.real_shape, det_cfg,
+                                  mesh=mesh)
+            sanitize.watch(f"detect[o{oi}]", anch.subvox)
             n_anch_d = jnp.sum(anch.valid)      # async; host pull deferred
             del log_vol
+        if mesh is not None:
+            out = _describe_octave_mesh(octv, anch, upsampled, cfg, mesh)
+            if out is not None:
+                out.update(oi=oi, voxsp=octv.voxsp, origin=origin,
+                           base=anchor_base)
+                pending.append(out)
+            anchor_base += anch.capacity
+            del octv, anch
+            continue
         # Anchor compaction: the static detect capacity is sized for dense
         # maps; real octaves carry a few hundred valid anchors, so the
         # orientation/descriptor stages run on a valid-first compacted
-        # buffer (~8x less work at bench scale). Coarse granularity (>=512,
-        # whole per-device chunks) bounds the distinct compiled programs.
-        # The compaction size is SPECULATED at the smallest bucket and
-        # orientation dispatched immediately: the anchor-count and
+        # buffer (~8x less work at bench scale). Coarse granularity (>=512
+        # chunks) bounds the distinct compiled programs. The compaction
+        # size is SPECULATED at the smallest bucket and orientation
+        # dispatched immediately: the anchor-count and
         # orientation-lane-count pulls then merge into ONE host round trip,
         # overlapped with the orientation kernel. Octaves that overflow the
         # speculative bucket (dense maps) re-run orientation at the true
         # size — the rare case pays one extra dispatch, the common case
         # saves a ~100 ms relay sync.
-        astep = cap_step * max(1, -(-512 // cap_step))
+        astep = 512
         spec_k = min(astep, anch.capacity)
 
         def compact(kk):
@@ -130,9 +139,11 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
 
         with stage("orient"):
             grad_vol = octv.grad()
+            sanitize.watch(f"scalespace.grad[o{oi}]", grad_vol)
             order_a, anch_c = compact(spec_k)
             ori = orient_anchors(grad_vol, anch_c, octv.real_shape,
-                                 upsampled, cfg.orient, mesh=mesh)
+                                 upsampled, cfg.orient)
+            sanitize.watch(f"orient[o{oi}]", ori.rfinal)
             n_anch, n_valid = jax.device_get(
                 (n_anch_d, jnp.sum(ori.valid)))
             n_anch, n_valid = int(n_anch), int(n_valid)
@@ -140,7 +151,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             if kk > spec_k:     # speculation overflowed: redo at true size
                 order_a, anch_c = compact(kk)
                 ori = orient_anchors(grad_vol, anch_c, octv.real_shape,
-                                     upsampled, cfg.orient, mesh=mesh)
+                                     upsampled, cfg.orient)
                 n_valid = int(jnp.sum(ori.valid))
             flat_valid_dev = ori.valid.reshape(-1)
         K, M, S = ori.valid.shape
@@ -150,7 +161,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             continue
         cap = min(bucket(max(n_valid, 128), cap_step), K * M * S)
         if n_valid > cfg.describe.max_descriptors:
-            # overflow: keep first lanes (capacity rounded to the mesh)
+            # overflow: keep the first max_descriptors lanes
             cap = min(bucket(cfg.describe.max_descriptors, cap_step),
                       K * M * S)
         # Device-side lane compaction (valid lanes first, anchor-major
@@ -165,7 +176,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         with stage("describe"):
             descs, ok = describe_anchors(
                 grad_vol, coords_d, rfin_d, lane_ok_d, octv.real_shape,
-                upsampled, cfg.describe, mesh=mesh)
+                upsampled, cfg.describe)
         # Defer every host pull to one consolidated device_get after the
         # octave loop: each pull syncs the tunneled host (~100 ms latency),
         # so per-octave pulls dominate the small-array traffic they carry.
@@ -179,6 +190,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         anchor_base += anch.capacity
         del octv, anch, ori, grad_vol
 
+    sanitize.flush()        # stage-mode NaN checks drain in one pull
     for p, host in zip(pending,
                        jax.device_get([p["dev"] for p in pending])):
         (ok, lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
@@ -227,6 +239,78 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         eqsp_size=cfg.orient.eqsp_size,
         subeqsp_size=cfg.describe.subeqsp_size,
         name=name or grid.name, **cat)
+
+
+def _describe_octave_mesh(octv, anch, upsampled, cfg: MadConfig, mesh):
+    """One octave of the capacity-mode (sharded-gather) describe chain.
+
+    The gradient field stays x-slab-sharded; orientation and description
+    select their own slab's work per device and emit per-shard selection
+    orders. This helper composes those permutations back into the
+    single-device ``pending`` schema — rows sorted by (global anchor slot,
+    main, sec), exactly the single-device row order — so the consolidated
+    host pull downstream is shared between both paths. Returns the pending
+    dict (without octave metadata) or None when the octave has no valid
+    lanes."""
+    with stage("orient"):
+        grad_vol = octv.grad()              # sharded; never replicated
+        sanitize.watch("scalespace.grad[mesh]", grad_vol)
+        # Per-shard anchor capacity, speculated small (most octaves carry a
+        # few hundred valid anchors spread over the slabs) and redone at
+        # full capacity when any slab owns more (shard_counts).
+        spec_k = min(512, anch.capacity)
+        ori = orient_anchors(grad_vol, anch, octv.real_shape, upsampled,
+                             cfg.orient, mesh=mesh, shard_k=spec_k)
+        n_valid, counts = jax.device_get(
+            (jnp.sum(ori.valid), ori.shard_counts))
+        if spec_k < anch.capacity and int(counts.max()) > spec_k:
+            ori = orient_anchors(grad_vol, anch, octv.real_shape, upsampled,
+                                 cfg.orient, mesh=mesh,
+                                 shard_k=anch.capacity)
+            n_valid = jax.device_get(jnp.sum(ori.valid))
+        n_valid = int(n_valid)
+    K2, M, S = ori.valid.shape              # K2 = n_shards * shard_k
+    if n_valid == 0:
+        del grad_vol
+        return None
+    MS = M * S
+    lanes = K2 * MS
+    cap = min(bucket(max(n_valid, 128), 128), anch.capacity * MS)
+    if n_valid > cfg.describe.max_descriptors:
+        cap = min(bucket(cfg.describe.max_descriptors, 128),
+                  anch.capacity * MS)
+    # Slot-major lane compaction: ordering by the GLOBAL anchor slot makes
+    # the kept lane set (and its order) identical to the single-device
+    # valid-first compaction, shard layout notwithstanding.
+    flat_valid = ori.valid.reshape(-1)
+    f = jnp.arange(lanes, dtype=jnp.int32)
+    slot_of_lane = ori.anchor_idx[f // MS]
+    big = jnp.int32(anch.capacity * MS)
+    key = jnp.where(flat_valid, slot_of_lane * MS + f % MS, big)
+    order_lane = jnp.argsort(key, stable=True)[:cap]
+    coords_d = anch.coords[ori.anchor_idx[order_lane // MS]]
+    rfin_d = ori.rfinal.reshape(-1, 3, 3)[order_lane]
+    lane_ok_d = flat_valid[order_lane]
+    with stage("describe"):
+        descs, ok2, order2, _cnt = describe_anchors(
+            grad_vol, coords_d, rfin_d, lane_ok_d, octv.real_shape,
+            upsampled, cfg.describe, mesh=mesh, shard_l=cap)
+    del grad_vol
+    # Compose permutations: output row r holds input lane order2[r]; sort
+    # rows back into slot-major order (single-device row order).
+    j = order2
+    flat = order_lane[j]
+    la = flat // MS
+    lm = (flat // S) % M
+    ls = flat % S
+    okr = ok2 & lane_ok_d[j]
+    key_r = jnp.where(okr, ori.anchor_idx[la] * MS + flat % MS, big)
+    rowperm = jnp.argsort(key_r, stable=True)
+    return dict(
+        desc=descs[rowperm],
+        dev=(okr[rowperm], la[rowperm], lm[rowperm], ls[rowperm],
+             coords_d[j[rowperm]], rfin_d[j[rowperm]], anch.subvox,
+             ori.main_bin, ori.sec_bin, ori.anchor_idx))
 
 
 # Concurrent describe chains each keep one octave's LoG/gradient field

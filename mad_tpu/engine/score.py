@@ -64,7 +64,10 @@ def batched_ccc(dmap: DensityGrid, model_grids, model_origins: np.ndarray,
     fn = _compiled_batched_ccc(tuple(map_pad.shape), model_shape)
     out = fn(map_pad, model_grids,
              jnp.asarray(starts + pad_lo, dtype=jnp.int32))
-    return np.asarray(out)
+    from ..utils import sanitize
+    out = np.asarray(out)
+    sanitize.check_host("score.ccc", out)
+    return out
 
 
 def ccc_structures(dmap: DensityGrid, coords: np.ndarray, masses: np.ndarray,

@@ -34,7 +34,7 @@ except ImportError:  # older jax
 
 from ..core.config import DescribeConfig
 from ..core.eqsp import get_eqsp
-from ..parallel.mesh import mesh_axis, mesh_size
+from ..parallel.mesh import mesh_axis
 from .orient import zone_assign_fn
 from ..utils.warmup import warmable
 
@@ -81,7 +81,7 @@ def _compiled_describe(shape: Tuple[int, int, int],
                        real_shape: Tuple[int, int, int], upsampled: bool,
                        radius: int, subeqsp_size: int, subregions: int,
                        cutoff: float, zero_magn: float, chunk: int,
-                       mesh: Mesh = None):
+                       mesh: Mesh = None, shard_l: int = 0):
     eqsp = get_eqsp(subeqsp_size)
     zone_ids = zone_assign_fn(eqsp)
     lattice_np = descriptor_lattice(radius, upsampled)
@@ -95,13 +95,19 @@ def _compiled_describe(shape: Tuple[int, int, int],
         perm[r, : len(pts)] = pts
     rs = jnp.asarray(real_shape)
 
-    def one_descriptor(grad, coord, rfinal, valid_in):
+    def one_descriptor(grad, coord, rfinal, valid_in, goff=None):
+        # The in-bounds test is always in GLOBAL coordinates; ``goff``
+        # (capacity mode) shifts the sample lattice into a halo-extended
+        # local block, clipped to its extent — lanes owned by another shard
+        # gather garbage there and carry valid_in=False.
         pts = jnp.asarray(lattice_np) @ rfinal + coord.astype(jnp.float32)
         in_bounds = jnp.all((pts >= 0) & (pts <= (rs - 1).astype(pts.dtype)))
         ok = valid_in & in_bounds
+        if goff is not None:
+            pts = pts - goff.astype(pts.dtype)
         # Nearest-neighbor with .5 ties to the lower index (scipy RGI parity).
         ids = jnp.clip(jnp.ceil(pts - 0.5).astype(jnp.int32), 0,
-                       jnp.asarray(shape) - 1)
+                       jnp.asarray(grad.shape[:3]) - 1)
         g = grad[ids[:, 0], ids[:, 1], ids[:, 2]].astype(jnp.float32)  # (P, 3)
         magn = jnp.linalg.norm(g, axis=-1)
         dirs = jnp.where((magn > cutoff)[:, None],
@@ -121,14 +127,14 @@ def _compiled_describe(shape: Tuple[int, int, int],
         # mad/Descriptor.py:198); halves the device->host pull.
         return jnp.where(ok, desc, 0).astype(jnp.int16), ok
 
-    def describe(grad, coords, rfinals, valid):
+    def describe(grad, coords, rfinals, valid, goff=None):
         d = coords.shape[0]
         n_chunks = d // chunk
 
         def do_chunk(args):
             c, r, v = args
-            return jax.vmap(one_descriptor, in_axes=(None, 0, 0, 0))(
-                grad, c, r, v)
+            return jax.vmap(one_descriptor, in_axes=(None, 0, 0, 0, None))(
+                grad, c, r, v, goff)
 
         descs, ok = lax.map(
             do_chunk,
@@ -141,36 +147,69 @@ def _compiled_describe(shape: Tuple[int, int, int],
 
     if mesh is None:
         return jax.jit(describe)
-    # Multi-chip: the SAME body runs per device on its lane shard (DP over
-    # oriented-anchor lanes; the gradient volume replicated).
+    # Capacity mode (multi-chip): the gradient volume STAYS sharded in
+    # x-slabs. Each device describes the (up to shard_l) lanes whose
+    # rotated sample lattice it owns, gathering from a halo-extended local
+    # block; the per-shard selection order is emitted so descriptor rows
+    # map back to input lanes.
+    from ..parallel.volume import halo_extend
     ax = mesh_axis(mesh)
-    sm = shard_map(describe, mesh=mesh,
-                   in_specs=(P(), P(ax, None), P(ax, None, None), P(ax)),
-                   out_specs=(P(ax, None), P(ax)))
+    n_sh = mesh.shape[ax]
+    blk = shape[0] // n_sh
+    stride = 2 if upsampled else 1
+    halo = radius * stride * 2      # >= sqrt(3) * lattice reach
+
+    def describe_shard(grad_block, coords, rfinals, valid):
+        pidx = lax.axis_index(ax)
+        x0 = pidx * blk
+        ext = halo_extend(grad_block, halo, ax, n_sh)
+        mine = valid & (coords[:, 0] >= x0) & (coords[:, 0] < x0 + blk)
+        order = jnp.argsort(~mine, stable=True)[:shard_l].astype(jnp.int32)
+        goff = jnp.array([x0 - halo, 0, 0], jnp.int32)
+        descs, ok = describe(ext, coords[order], rfinals[order],
+                             mine[order], goff)
+        return descs, ok, order, jnp.sum(mine)[None]
+
+    sm = shard_map(describe_shard, mesh=mesh,
+                   in_specs=(P(ax, None, None, None), P(), P(), P()),
+                   out_specs=(P(ax, None), P(ax), P(ax), P(ax)),
+                   # replicated lane tables mix with shard-varying
+                   # selections inside; skip the static VMA check
+                   check_vma=False)
     return jax.jit(sm)
 
 
 def describe_anchors(grad: jnp.ndarray, coords: jnp.ndarray,
                      rfinals: jnp.ndarray, valid: jnp.ndarray, real_shape,
                      upsampled: bool, cfg: DescribeConfig, chunk: int = 128,
-                     mesh: Mesh = None):
+                     mesh: Mesh = None, shard_l: int = 0):
     """Descriptors for compacted oriented-anchor lanes of one octave.
 
     coords: (D, 3) int32 anchor voxel coords; rfinals: (D, 3, 3).
-    Returns (descriptors (D, subregions*subeqsp) int32, valid (D,) bool).
+    Returns (descriptors (D, subregions*subeqsp) int16, valid (D,) bool);
+    in capacity mode (mesh) additionally (order, shard_counts): ``grad``
+    arrives x-slab-sharded and is never replicated, each device describes
+    the lanes whose patch it owns (up to ``shard_l`` per shard, default all
+    D — no overflow possible), and row j of the output corresponds to input
+    lane order[j].
     """
     radius = (cfg.patch_size - cfg.patch_size % 2) // 2
     d = coords.shape[0]
-    assert d % (chunk * mesh_size(mesh)) == 0, (d, chunk, mesh_size(mesh))
+    if mesh is None:
+        assert d % chunk == 0, (d, chunk)
+        fn = _compiled_describe(tuple(grad.shape[:3]), tuple(real_shape),
+                                bool(upsampled), radius, cfg.subeqsp_size,
+                                cfg.subregions, float(cfg.cutoff_magn),
+                                float(cfg.zero_magn), chunk)
+        return fn(grad, coords, rfinals, valid)
+    shard_l = shard_l or d
+    assert shard_l % chunk == 0, (shard_l, chunk)
     fn = _compiled_describe(tuple(grad.shape[:3]), tuple(real_shape),
                             bool(upsampled), radius, cfg.subeqsp_size,
                             cfg.subregions, float(cfg.cutoff_magn),
-                            float(cfg.zero_magn), chunk, mesh)
-    if mesh is not None:
-        ax = mesh_axis(mesh)
-        grad = jax.device_put(grad, NamedSharding(mesh, P()))
-        coords = jax.device_put(coords, NamedSharding(mesh, P(ax, None)))
-        rfinals = jax.device_put(rfinals,
-                                 NamedSharding(mesh, P(ax, None, None)))
-        valid = jax.device_put(valid, NamedSharding(mesh, P(ax)))
+                            float(cfg.zero_magn), chunk, mesh, shard_l)
+    rep = NamedSharding(mesh, P())
+    coords = jax.device_put(coords, rep)
+    rfinals = jax.device_put(rfinals, rep)
+    valid = jax.device_put(valid, rep)
     return fn(grad, coords, rfinals, valid)

@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core.config import DetectConfig
 from ..utils.warmup import warmable
@@ -103,16 +108,22 @@ def _neg_semidefinite(H: jnp.ndarray) -> jnp.ndarray:
 def _compiled_detect(shape: Tuple[int, int, int],
                      real_shape: Tuple[int, int, int],
                      threshold: float, exclude_border: int, max_offset: float,
-                     n_iter: int, capacity: int):
+                     n_iter: int, capacity: int, mesh: Mesh = None):
     rx, ry, rz = real_shape
     eb = exclude_border
 
-    def localize(vol, seed):
-        """Newton walk from one peak; returns (coords, subvox, accepted)."""
+    def localize(vol, seed, gather_off=None):
+        """Newton walk from one peak; returns (coords, subvox, accepted).
+
+        gather_off: optional (3,) offset subtracted from the (global) walk
+        position for the 3x3x3 gathers — the sharded path passes a
+        halo-extended local block while the walk itself stays in global
+        coordinates (bounds clamp against the real extent either way)."""
 
         def body(_, state):
             pos, offset, H, accepted, bad = state
-            patch = lax.dynamic_slice(vol, (pos[0] - 1, pos[1] - 1, pos[2] - 1),
+            p = pos if gather_off is None else pos - gather_off
+            patch = lax.dynamic_slice(vol, (p[0] - 1, p[1] - 1, p[2] - 1),
                                       (3, 3, 3))
             Hn, G = _hessian_grad(patch)
             Hinv, ok = _inv3(Hn)
@@ -138,22 +149,15 @@ def _compiled_detect(shape: Tuple[int, int, int],
         good = accepted & _neg_semidefinite(H)
         return pos, pos.astype(vol.dtype) + offset, good
 
-    def detect(vol):
-        pooled = _maxpool3(vol)
-        x = jnp.arange(shape[0])[:, None, None]
-        y = jnp.arange(shape[1])[None, :, None]
-        z = jnp.arange(shape[2])[None, None, :]
-        interior = ((x >= eb) & (x < rx - eb) & (y >= eb) & (y < ry - eb)
-                    & (z >= eb) & (z < rz - eb))
-        is_peak = (vol >= pooled) & (vol > threshold) & interior
-        scores = jnp.where(is_peak, vol, -jnp.inf).reshape(-1)
+    def topk_flat(scores):
         v = scores.shape[0]
         if v > (1 << 22):
             # Two-stage top-k: a flat top_k over 10^8+ voxels is the
             # detection bottleneck. Peaks are >=2 voxels apart, so a
             # 4096-voxel segment holds far fewer than 512 peaks; per-segment
             # top-512 then a global top-k is exact in practice and ~10x
-            # cheaper.
+            # cheaper (segment-major candidate order = flat-index order, so
+            # even tie ordering matches the flat top_k).
             block = 4096
             pad = (-v) % block
             seg = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
@@ -164,9 +168,19 @@ def _compiled_detect(shape: Tuple[int, int, int],
             cand_idx = (base + scols).reshape(-1)
             cand_vals = svals.reshape(-1)
             vals, sub = lax.top_k(cand_vals, capacity)
-            flat_idx = cand_idx[sub]
-        else:
-            vals, flat_idx = lax.top_k(scores, capacity)
+            return vals, cand_idx[sub]
+        return lax.top_k(scores, capacity)
+
+    def detect(vol):
+        pooled = _maxpool3(vol)
+        x = jnp.arange(shape[0])[:, None, None]
+        y = jnp.arange(shape[1])[None, :, None]
+        z = jnp.arange(shape[2])[None, None, :]
+        interior = ((x >= eb) & (x < rx - eb) & (y >= eb) & (y < ry - eb)
+                    & (z >= eb) & (z < rz - eb))
+        is_peak = (vol >= pooled) & (vol > threshold) & interior
+        scores = jnp.where(is_peak, vol, -jnp.inf).reshape(-1)
+        vals, flat_idx = topk_flat(scores)
         seeds = jnp.stack(jnp.unravel_index(flat_idx, shape), axis=-1
                           ).astype(jnp.int32)
         valid_seed = vals > threshold
@@ -175,14 +189,72 @@ def _compiled_detect(shape: Tuple[int, int, int],
         pos, subvox, good = jax.vmap(localize, in_axes=(None, 0))(vol, seeds)
         return pos, subvox, vals, valid_seed & good
 
-    return jax.jit(detect)
+    if mesh is None:
+        return jax.jit(detect)
+
+    # Capacity mode (multi-chip): the LoG volume STAYS sharded in x-slabs —
+    # no device holds the full field. Each device finds its slab's top-K
+    # peaks on a halo-extended block, an all_gather + top_k merges the
+    # candidate lists (shard-major order = flat-index order, so tie
+    # ordering matches the single-device flat top_k exactly), and each
+    # merged seed Newton-localizes on the device owning its slab (halo
+    # covers the <= n_iter-voxel walk); a psum rebuilds the replicated
+    # anchor table.
+    from ..parallel.mesh import mesh_axis
+    from ..parallel.volume import halo_extend
+    ax = mesh_axis(mesh)
+    n_sh = mesh.shape[ax]
+    blk = shape[0] // n_sh
+    halo = 2 + n_iter       # 1 pool + n_iter walk + 1 patch
+
+    def detect_shard(vol_block):
+        pidx = lax.axis_index(ax)
+        x0 = pidx * blk
+        ext = halo_extend(vol_block, halo, ax, n_sh)
+        pooled = _maxpool3(ext)[halo:-halo]
+        gx = x0 + jnp.arange(blk)[:, None, None]
+        y = jnp.arange(shape[1])[None, :, None]
+        z = jnp.arange(shape[2])[None, None, :]
+        interior = ((gx >= eb) & (gx < rx - eb) & (y >= eb) & (y < ry - eb)
+                    & (z >= eb) & (z < rz - eb))
+        is_peak = (vol_block >= pooled) & (vol_block > threshold) & interior
+        scores = jnp.where(is_peak, vol_block, -jnp.inf).reshape(-1)
+        vals_l, flat_l = topk_flat(scores)
+        seeds_l = jnp.stack(
+            jnp.unravel_index(flat_l, (blk,) + shape[1:]), axis=-1
+        ).astype(jnp.int32) + jnp.array([x0, 0, 0], jnp.int32)[None]
+        vals_all = lax.all_gather(vals_l, ax)               # (n, K)
+        seeds_all = lax.all_gather(seeds_l, ax)             # (n, K, 3)
+        vals, sel = lax.top_k(vals_all.reshape(-1), capacity)
+        seeds = seeds_all.reshape(-1, 3)[sel]
+        valid_seed = vals > threshold
+        seeds = jnp.clip(seeds, eb, jnp.array([rx, ry, rz]) - eb - 1)
+        own = (seeds[:, 0] >= x0) & (seeds[:, 0] < x0 + blk)
+        goff = jnp.array([x0 - halo, 0, 0], jnp.int32)
+        pos, subvox, good = jax.vmap(
+            lambda s: localize(ext, s, goff))(seeds)
+        ow = own.astype(jnp.int32)
+        pos = lax.psum(pos * ow[:, None], ax)
+        subvox = lax.psum(subvox * ow[:, None].astype(subvox.dtype), ax)
+        good = lax.psum((good & own).astype(jnp.int32), ax) > 0
+        return pos, subvox, vals, valid_seed & good
+
+    sm = shard_map(detect_shard, mesh=mesh,
+                   in_specs=(P(ax, None, None),),
+                   out_specs=(P(), P(), P(), P()),
+                   # the Newton fori_loop carries replicated seeds through
+                   # shard-varying gathers; skip the static VMA check
+                   check_vma=False)
+    return jax.jit(sm)
 
 
-def detect_anchors(log_vol: jnp.ndarray, real_shape, cfg: DetectConfig
-                   ) -> Anchors:
+def detect_anchors(log_vol: jnp.ndarray, real_shape, cfg: DetectConfig,
+                   mesh: Mesh = None) -> Anchors:
+    """mesh: optional device mesh — capacity mode, the LoG volume arrives
+    (and stays) sharded in x-slabs; the anchor table returns replicated."""
     fn = _compiled_detect(tuple(log_vol.shape), tuple(real_shape),
                           float(cfg.threshold_abs), int(cfg.exclude_border),
                           float(cfg.max_offset), int(cfg.newton_iters),
-                          int(cfg.max_anchors))
+                          int(cfg.max_anchors), mesh)
     pos, subvox, vals, valid = fn(log_vol)
     return Anchors(coords=pos, subvox=subvox, values=vals, valid=valid)

@@ -38,7 +38,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..core.config import OrientConfig
-from ..parallel.mesh import mesh_axis, mesh_size
+from ..parallel.mesh import mesh_axis
 from ..core.eqsp import EQSPSphere, get_eqsp
 from ..core.geometry import axis_angle_mat, rotation_about_z, spherical_angles
 from .detect import Anchors
@@ -49,13 +49,19 @@ TWO_PI = 2.0 * np.pi
 
 @dataclass
 class OrientedAnchors:
-    """Fixed-width (K, M, S) oriented-anchor lanes for one octave."""
+    """Fixed-width (K, M, S) oriented-anchor lanes for one octave.
+
+    In capacity mode (mesh) K = n_shards * shard_k and ``anchor_idx`` maps
+    each lane row back to its global anchor slot (per-shard selection
+    order); ``shard_counts`` carries each shard's owned-anchor count so
+    callers can detect shard_k overflow."""
 
     anchor_idx: jnp.ndarray   # (K,) index into the Anchors buffer
     main_bin: jnp.ndarray     # (K, M) int32
     sec_bin: jnp.ndarray      # (K, M, S) int32
     rfinal: jnp.ndarray       # (K, M, S, 3, 3) float32
     valid: jnp.ndarray        # (K, M, S) bool
+    shard_counts: jnp.ndarray = None   # (n_shards,) int32, mesh only
 
 
 def zone_ids_fn(eqsp: EQSPSphere):
@@ -201,7 +207,7 @@ def _compiled_orient(shape: Tuple[int, int, int],
                      real_shape: Tuple[int, int, int], stride: int,
                      radius: int, eqsp_size: int, max_main: int, max_sec: int,
                      cutoff: float, gw_sig: float, chunk: int,
-                     mesh: Mesh = None):
+                     mesh: Mesh = None, shard_k: int = 0):
     eqsp = get_eqsp(eqsp_size)
     hist = zone_hist_fn(eqsp)
     mask_np = _sphere_mask(radius, gw_sig).reshape(-1)
@@ -226,12 +232,21 @@ def _compiled_orient(shape: Tuple[int, int, int],
     rs = jnp.asarray(real_shape)
     half = radius * stride
 
-    def one_anchor(grad, coord, valid_in):
+    def one_anchor(grad, coord, valid_in, goff=None):
         # Border rejection (parity mad/Orientator.py:127-155: upper bound is
-        # conservative by one voxel, xp > s-1 rejects).
+        # conservative by one voxel, xp > s-1 rejects). The bounds test is
+        # always in GLOBAL coordinates; ``goff`` (capacity mode) shifts the
+        # gather into a halo-extended local block, clamped to its extent —
+        # lanes whose anchor lives on another shard gather garbage there and
+        # carry valid_in=False.
         ok = valid_in & jnp.all(coord - half >= 0) & \
             jnp.all(coord + half + 1 <= rs - 1)
-        safe = jnp.clip(coord, half, jnp.maximum(rs - half - 1, half))
+        if goff is None:
+            safe = jnp.clip(coord, half, jnp.maximum(rs - half - 1, half))
+        else:
+            gdim = jnp.asarray(grad.shape[:3], jnp.int32)
+            safe = jnp.clip(coord - goff, half,
+                            jnp.maximum(gdim - half - 1, half))
         pts = safe[None, :] + jnp.asarray(offsets_np, dtype=jnp.int32)  # (P,3)
         g = grad[pts[:, 0], pts[:, 1], pts[:, 2]].astype(jnp.float32)   # (P,3)
         magn = jnp.linalg.norm(g, axis=-1)
@@ -268,13 +283,14 @@ def _compiled_orient(shape: Tuple[int, int, int],
         valid = ok & main_ok[:, None] & sub_ok
         return mains, sec_bins, rfin, valid
 
-    def orient(grad, coords, valid):
+    def orient(grad, coords, valid, goff=None):
         k = coords.shape[0]
         n_chunks = k // chunk
 
         def do_chunk(args):
             c, v = args
-            return jax.vmap(one_anchor, in_axes=(None, 0, 0))(grad, c, v)
+            return jax.vmap(one_anchor, in_axes=(None, 0, 0, None))(
+                grad, c, v, goff)
 
         outs = lax.map(
             do_chunk,
@@ -288,38 +304,72 @@ def _compiled_orient(shape: Tuple[int, int, int],
 
     if mesh is None:
         return jax.jit(orient)
-    # Multi-chip: the SAME body runs per device on its anchor shard (DP over
-    # anchors; the gradient volume replicated so patch gathers stay local).
+    # Capacity mode (multi-chip): the gradient volume STAYS sharded in
+    # x-slabs — no device materializes the full field. Each device runs the
+    # SAME orient body on the (up to shard_k) anchors whose patch it owns,
+    # gathering from a halo-extended local block; the per-shard selection
+    # order is emitted so lanes map back to global anchor slots, plus the
+    # per-shard owned-anchor count (overflow detection).
+    from ..parallel.volume import halo_extend
     ax = mesh_axis(mesh)
-    sm = shard_map(orient, mesh=mesh,
-                   in_specs=(P(), P(ax, None), P(ax)),
+    n_sh = mesh.shape[ax]
+    blk = shape[0] // n_sh
+    halo = radius * stride * 2      # covers orient reach (r*stride) and the
+                                    # rotated describe lattice (sqrt(3)*~2r)
+
+    def orient_shard(grad_block, coords, valid):
+        pidx = lax.axis_index(ax)
+        x0 = pidx * blk
+        ext = halo_extend(grad_block, halo, ax, n_sh)
+        mine = valid & (coords[:, 0] >= x0) & (coords[:, 0] < x0 + blk)
+        order = jnp.argsort(~mine, stable=True)[:shard_k].astype(jnp.int32)
+        goff = jnp.array([x0 - halo, 0, 0], jnp.int32)
+        mains, secs, rfin, ok = orient(ext, coords[order], mine[order], goff)
+        return mains, secs, rfin, ok, order, jnp.sum(mine)[None]
+
+    sm = shard_map(orient_shard, mesh=mesh,
+                   in_specs=(P(ax, None, None, None), P(), P()),
                    out_specs=(P(ax, None), P(ax, None, None),
                               P(ax, None, None, None, None),
-                              P(ax, None, None)))
+                              P(ax, None, None), P(ax), P(ax)),
+                   # replicated anchor tables mix with shard-varying
+                   # selections inside; skip the static VMA check
+                   check_vma=False)
     return jax.jit(sm)
 
 
 def orient_anchors(grad: jnp.ndarray, anchors: Anchors, real_shape,
                    upsampled: bool, cfg: OrientConfig, chunk: int = 128,
-                   mesh: Mesh = None) -> OrientedAnchors:
-    """Assign canonical frames to all anchors of one octave."""
+                   mesh: Mesh = None, shard_k: int = 0) -> OrientedAnchors:
+    """Assign canonical frames to all anchors of one octave.
+
+    mesh (capacity mode): ``grad`` arrives x-slab-sharded and is never
+    replicated; each device orients the anchors whose patches it owns
+    (up to ``shard_k`` per shard, default the full capacity — no overflow
+    possible). The anchor table is replicated (it is tiny)."""
     radius = (cfg.patch_size - cfg.patch_size % 2) // 2
     stride = 2 if upsampled else 1
     k = anchors.capacity
-    assert k % (chunk * mesh_size(mesh)) == 0, (k, chunk, mesh_size(mesh))
+    if mesh is None:
+        assert k % chunk == 0, (k, chunk)
+        fn = _compiled_orient(tuple(grad.shape[:3]), tuple(real_shape),
+                              stride, radius, cfg.eqsp_size, cfg.max_main,
+                              cfg.max_sec, float(cfg.cutoff_magn),
+                              float(cfg.gw_sig), chunk)
+        mains, secs, rfin, ok = fn(grad, anchors.coords, anchors.valid)
+        return OrientedAnchors(
+            anchor_idx=jnp.arange(k, dtype=jnp.int32),
+            main_bin=mains, sec_bin=secs, rfinal=rfin, valid=ok,
+        )
+    shard_k = shard_k or k
+    assert shard_k % chunk == 0, (shard_k, chunk)
     fn = _compiled_orient(tuple(grad.shape[:3]), tuple(real_shape), stride,
                           radius, cfg.eqsp_size, cfg.max_main, cfg.max_sec,
                           float(cfg.cutoff_magn), float(cfg.gw_sig), chunk,
-                          mesh)
-    coords_d, valid_d = anchors.coords, anchors.valid
-    if mesh is not None:
-        ax = mesh_axis(mesh)
-        grad = jax.device_put(grad, NamedSharding(mesh, P()))
-        coords_d = jax.device_put(coords_d,
-                                  NamedSharding(mesh, P(ax, None)))
-        valid_d = jax.device_put(valid_d, NamedSharding(mesh, P(ax)))
-    mains, secs, rfin, ok = fn(grad, coords_d, valid_d)
+                          mesh, shard_k)
+    coords_d = jax.device_put(anchors.coords, NamedSharding(mesh, P()))
+    valid_d = jax.device_put(anchors.valid, NamedSharding(mesh, P()))
+    mains, secs, rfin, ok, order, counts = fn(grad, coords_d, valid_d)
     return OrientedAnchors(
-        anchor_idx=jnp.arange(k, dtype=jnp.int32),
-        main_bin=mains, sec_bin=secs, rfinal=rfin, valid=ok,
-    )
+        anchor_idx=order, main_bin=mains, sec_bin=secs, rfinal=rfin,
+        valid=ok, shard_counts=counts)

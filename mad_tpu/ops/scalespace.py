@@ -96,29 +96,45 @@ def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int,
     return data, origin, real, dims
 
 
+def _mesh_out(mesh, ndim: int):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from ..parallel.mesh import mesh_axis
+    return NamedSharding(
+        mesh, P(mesh_axis(mesh), *([None] * (ndim - 1))))
+
+
 @functools.lru_cache(maxsize=32)
 @warmable
 def _compiled_log(shape: Tuple[int, int, int], sig_init: float,
-                  sig_presmooth: float, up: bool, truncate: float):
+                  sig_presmooth: float, up: bool, truncate: float,
+                  mesh=None):
+    """mesh (capacity mode): the output stays x-slab-sharded; the upsampled
+    octave's odd dim 0 (2X-1) pads by one zero row so it divides the mesh
+    (the real_shape bounds checks downstream ignore the pad row)."""
     def build(vol):
         if up:
             vol = upsample2(vol)
             if sig_presmooth:
                 vol = gaussian_filter3d(vol, sig_presmooth, truncate)
         log_resp, _ = log_filter3d(vol, sig_init, truncate)
+        if mesh is not None and up:
+            log_resp = jnp.pad(log_resp, ((0, 1), (0, 0), (0, 0)))
         return log_resp
 
-    return jax.jit(build)
+    if mesh is None:
+        return jax.jit(build)
+    return jax.jit(build, out_shardings=_mesh_out(mesh, 3))
 
 
 @functools.lru_cache(maxsize=32)
 @warmable
 def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
                    sig_presmooth: float, up: bool, truncate: float,
-                   dtype: str = "float32"):
+                   dtype: str = "float32", mesh=None):
     """Gradient-of-Gaussian field. dtype='bfloat16' halves memory on very
     large octaves (gradients only feed direction binning; bf16 directions
-    shift a negligible fraction of zone assignments)."""
+    shift a negligible fraction of zone assignments). mesh: as for
+    _compiled_log — output stays sharded, odd upsampled dim 0 padded."""
     out_dtype = jnp.dtype(dtype)
 
     def build(vol):
@@ -129,14 +145,20 @@ def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
         gauss = gaussian_filter3d(vol, sig_init, truncate)
         if out_dtype == jnp.float32:
             gx, gy, gz = jnp.gradient(gauss)
-            return jnp.stack([gx, gy, gz], axis=-1)
-        comps = []
-        for ax in range(3):
-            g = jnp.gradient(gauss, axis=ax)
-            comps.append(g.astype(out_dtype))  # cast early: smaller peak
-        return jnp.stack(comps, axis=-1)
+            out = jnp.stack([gx, gy, gz], axis=-1)
+        else:
+            comps = []
+            for ax in range(3):
+                g = jnp.gradient(gauss, axis=ax)
+                comps.append(g.astype(out_dtype))  # cast early: smaller peak
+            out = jnp.stack(comps, axis=-1)
+        if mesh is not None and up:
+            out = jnp.pad(out, ((0, 1), (0, 0), (0, 0), (0, 0)))
+        return out
 
-    return jax.jit(build)
+    if mesh is None:
+        return jax.jit(build)
+    return jax.jit(build, out_shardings=_mesh_out(mesh, 4))
 
 
 class LazyOctave:
@@ -145,27 +167,38 @@ class LazyOctave:
     descriptors with only the gradient — halving peak memory on big maps
     (the upsampled octave of a 350^3 map is ~690^3)."""
 
-    def __init__(self, data, dims, voxsp, real_shape, up, cfg):
+    def __init__(self, data, dims, voxsp, real_shape, up, cfg, mesh=None):
         self._data = data
         self._args = (dims, float(cfg.detect_sigma),
                       float(cfg.presmooth_sigma), up, float(cfg.truncate))
+        self._mesh = mesh
         self.voxsp = voxsp
         self.real_shape = real_shape
 
     # Above this many octave voxels the f32 gradient field (12 B/voxel plus
     # build temporaries) no longer fits a v5e's HBM comfortably; store it as
-    # bf16 instead. 250M voxels = 3 GB of f32 gradients.
+    # bf16 instead. 250M voxels = 3 GB of f32 gradients. In capacity mode
+    # (mesh) the PER-DEVICE shard is what must fit, so the gate scales by
+    # the mesh size — an 8-mesh keeps f32 gradients to 2B voxels.
     BF16_VOXELS = 250_000_000
 
     def log(self):
-        return _compiled_log(*self._args)(self._data)
+        if self._mesh is None:      # kwarg omitted: manifest-key stability
+            return _compiled_log(*self._args)(self._data)
+        return _compiled_log(*self._args, mesh=self._mesh)(self._data)
 
     def grad(self):
+        from ..parallel.mesh import mesh_size
         n_vox = 1
         for s in self.real_shape:
             n_vox *= s
-        dtype = "bfloat16" if n_vox > self.BF16_VOXELS else "float32"
-        return _compiled_grad(*self._args, dtype=dtype)(self._data)
+        dtype = ("bfloat16"
+                 if n_vox > self.BF16_VOXELS * mesh_size(self._mesh)
+                 else "float32")
+        if self._mesh is None:
+            return _compiled_grad(*self._args, dtype=dtype)(self._data)
+        return _compiled_grad(*self._args, dtype=dtype, mesh=self._mesh)(
+            self._data)
 
 
 def iter_lazy_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,
@@ -175,9 +208,11 @@ def iter_lazy_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,
     data, origin, real, dims = _prepare(grid, cfg, shape_bucket, mesh)
     if cfg.oct_mode in ("up", "both"):
         yield origin, LazyOctave(data, dims, grid.voxsp / 2.0,
-                                 tuple(2 * s - 1 for s in real), True, cfg)
+                                 tuple(2 * s - 1 for s in real), True, cfg,
+                                 mesh)
     if cfg.oct_mode in ("base", "both"):
-        yield origin, LazyOctave(data, dims, grid.voxsp, real, False, cfg)
+        yield origin, LazyOctave(data, dims, grid.voxsp, real, False, cfg,
+                                 mesh)
 
 
 def iter_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,

@@ -30,6 +30,38 @@ except ImportError:  # older jax
 from ..ops.convolve import gaussian_kernel1d, conv1d_along, log_filter3d
 
 
+def halo_extend(block: jnp.ndarray, halo: int, axis_name: str, n: int
+                ) -> jnp.ndarray:
+    """Extend a per-device slab by ``halo`` voxels on both ends of dim 0
+    with the neighbors' boundary slabs (lax.ppermute), zero-filled at the
+    global volume ends. Works for (B, Y, Z) scalar and (B, Y, Z, C) vector
+    fields; call INSIDE shard_map. The returned block maps global dim-0
+    coordinate x to local index x - x0 + halo.
+
+    When the halo exceeds the block (tiny test volumes on wide meshes) the
+    one-hop exchange cannot reach far enough; fall back to an all_gather +
+    slice — full replication, acceptable exactly because the volume is
+    small."""
+    blk = block.shape[0]
+    if halo > blk:
+        full = lax.all_gather(block, axis_name, tiled=True)  # (n*blk, ...)
+        pad = [(halo, halo)] + [(0, 0)] * (block.ndim - 1)
+        padded = jnp.pad(full, pad)
+        x0 = lax.axis_index(axis_name) * blk
+        return lax.dynamic_slice_in_dim(padded, x0, blk + 2 * halo, 0)
+    right_of = [(i, (i + 1) % n) for i in range(n)]
+    left_of = [(i, (i - 1) % n) for i in range(n)]
+    lo_slab = block[:halo]
+    hi_slab = block[-halo:]
+    from_left = lax.ppermute(hi_slab, axis_name, right_of)
+    from_right = lax.ppermute(lo_slab, axis_name, left_of)
+    idx = lax.axis_index(axis_name)
+    zero = jnp.zeros_like(lo_slab)
+    from_left = jnp.where(idx == 0, zero, from_left)
+    from_right = jnp.where(idx == n - 1, zero, from_right)
+    return jnp.concatenate([from_left, block, from_right], axis=0)
+
+
 def sharded_log_gspmd(vol: jnp.ndarray, sigma: float, mesh: Mesh,
                       axis: str = "x"):
     """LoG + Gaussian with the volume sharded along dim 0; XLA partitions

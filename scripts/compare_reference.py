@@ -14,7 +14,11 @@ import sys
 import time
 import types
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU BEFORE any jax import: the axon TPU plugin registers itself
+# from sitecustomize, so the env var alone does not win (STATUS.md).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 

@@ -193,6 +193,47 @@ def test_functional_repeatability():
     assert rep[2.0] == pytest.approx(100.0 * 2 / 3)
 
 
+def test_stage_sanitizer_localizes_nan(monkeypatch):
+    """MAD_TPU_NANCHECK=1 (stage mode): a seeded NaN is localized to its
+    pipeline stage with NO recompiles (jax_debug_nans stays off), via
+    isfinite reductions folded into the consolidated pulls (SURVEY §5)."""
+    import jax
+    from mad_tpu.core.config import MadConfig
+    from mad_tpu.core.grid import DensityGrid
+    from mad_tpu.engine.pipeline import describe_grid
+    from mad_tpu.utils import sanitize
+
+    monkeypatch.setenv("MAD_TPU_NANCHECK", "1")
+    assert sanitize.mode() == "stage"
+    assert not jax.config.jax_debug_nans          # no global recompile mode
+    rng = np.random.default_rng(0)
+    data = rng.random((48, 48, 48)).astype(np.float32)
+    data[20, 20, 20] = np.nan
+    grid = DensityGrid(data=data, origin=np.zeros(3), voxsp=2.0)
+    sanitize.clear()
+    try:
+        with pytest.raises(FloatingPointError, match="scalespace.log"):
+            describe_grid(grid, MadConfig(), name="bad")
+    finally:
+        sanitize.clear()
+
+    # clean inputs pass through the same checks silently
+    good = DensityGrid(data=rng.random((48, 48, 48)).astype(np.float32),
+                       origin=np.zeros(3), voxsp=2.0)
+    describe_grid(good, MadConfig(), name="good")
+    sanitize.flush()
+
+
+def test_check_host_fires(monkeypatch):
+    from mad_tpu.utils import sanitize
+    monkeypatch.setenv("MAD_TPU_NANCHECK", "1")
+    sanitize.check_host("ok.stage", np.ones(3))          # silent
+    with pytest.raises(FloatingPointError, match="bad.stage"):
+        sanitize.check_host("bad.stage", np.array([1.0, np.nan]))
+    monkeypatch.setenv("MAD_TPU_NANCHECK", "0")
+    sanitize.check_host("off.stage", np.array([np.nan]))  # disabled
+
+
 def test_nan_check_mode():
     """Opt-in sanitizer (SURVEY section 5): jitted stages raise at the
     producing primitive instead of propagating NaN silently."""
