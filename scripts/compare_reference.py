@@ -46,8 +46,76 @@ def install_shims():
     sk.feature = skf
     sys.modules.setdefault("skimage", sk)
     sys.modules.setdefault("skimage.feature", skf)
-    sys.modules.setdefault("mrcfile", types.ModuleType("mrcfile"))
+    sys.modules.setdefault("mrcfile", _make_mrcfile_shim())
     sys.path.insert(0, REF)
+
+
+def _make_mrcfile_shim():
+    """Functional mrcfile stand-in backed by mad_tpu.core.mrc_io — just the
+    surface the reference touches (Dmap.py:27-43, 392-416, MapSpace.py:98):
+    open().header fields / voxel_size.x / data, and new().set_data +
+    header assignment inside a with-block."""
+    from mad_tpu.core import mrc_io
+
+    class _Vec:
+        def __init__(self, x=0.0, y=0.0, z=0.0):
+            self.x, self.y, self.z = x, y, z
+
+    class _Header:
+        def __init__(self):
+            self.mx = self.my = self.mz = 0
+            self.nxstart = self.nystart = self.nzstart = 0
+            self.origin = _Vec()
+            self.cella = _Vec()
+            self.mapc, self.mapr, self.maps = 1, 2, 3
+
+    class _Open:
+        def __init__(self, path):
+            hdr, data = mrc_io.read_mrc(path)
+            self.data = data
+            self.header = _Header()
+            h = self.header
+            h.mx, h.my, h.mz = hdr.mx, hdr.my, hdr.mz
+            h.nxstart, h.nystart, h.nzstart = (hdr.nxstart, hdr.nystart,
+                                               hdr.nzstart)
+            h.origin = _Vec(*hdr.origin)
+            h.cella = _Vec(*hdr.cella)
+            h.mapc, h.mapr, h.maps = hdr.mapc, hdr.mapr, hdr.maps
+            self.voxel_size = _Vec(hdr.cella[0] / max(hdr.mx, 1),
+                                   hdr.cella[1] / max(hdr.my, 1),
+                                   hdr.cella[2] / max(hdr.mz, 1))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class _New:
+        def __init__(self, path):
+            self._path = path
+            self.header = _Header()
+            self.mode = 2
+            self._data = None
+
+        def set_data(self, arr):
+            self._data = np.asarray(arr, dtype=np.float32)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *exc):
+            if exc[0] is None and self._data is not None:
+                h = self.header
+                voxsp = (h.cella.x / max(h.mx, 1)) or 1.0
+                mrc_io.write_mrc(self._path, self._data, voxsp,
+                                 (h.origin.x, h.origin.y, h.origin.z))
+            return False
+
+    mod = types.ModuleType("mrcfile")
+    mod.open = _Open
+    mod.new = lambda path, overwrite=True: _New(path)
+    return mod
 
 
 def main():
