@@ -96,6 +96,10 @@ class DescribeConfig:
     cutoff_magn: float = 1e-12     # normalize cutoff
     zero_magn: float = 1e-5        # samples below this excluded from counts
     max_descriptors: int = 16384   # static capacity for oriented anchors
+    static_lanes: int = 2048       # fused-path lane frame (one compiled
+                                   # describe program per shape; octaves
+                                   # with more valid lanes redo at the
+                                   # max_descriptors frame)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -63,8 +63,20 @@ class DescriptorSet:
 
 
 def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
-                  mesh=None) -> DescriptorSet:
+                  mesh=None, _caps=None) -> DescriptorSet:
     """Run the full anchor/orientation/descriptor chain on a density grid.
+
+    Single device: the FUSED path — per octave, exactly three program
+    dispatches (LoG+detect+anchor-compaction, gradient, orientation+lane-
+    compaction) plus the descriptor program, with STATIC speculative
+    capacities and ZERO per-octave host syncs; anchor/lane counts return
+    asynchronously and are checked in the one consolidated pull at the
+    end. Octaves that overflow the speculative frames (dense maps) redo
+    the whole chain at full capacity (``_caps`` recursion). On the
+    tunneled-host topology every dispatch/sync costs ~100-150 ms, so the
+    fused chain is what keeps the describe side latency-lean — and the
+    static frames collapse the per-run capacity buckets into one compiled
+    program per (shape, octave), which the AOT manifest replays exactly.
 
     mesh: optional device mesh — CAPACITY mode (multi-chip): the LoG and
     gradient volumes stay x-slab-sharded through every stage; no device
@@ -74,10 +86,14 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
     patches that slab owns, gathering from halo-extended local blocks
     (parallel/volume.halo_extend). Results equal the single-device run
     row for row."""
-    import dataclasses as _dc
+    from ..ops.orient import _compiled_orient
 
     det_cfg = cfg.detect
-    cap_step = 128
+    spec_k, lane_cap = _caps or (
+        min(512, det_cfg.max_anchors),
+        min(bucket(cfg.describe.static_lanes, 128),
+            det_cfg.max_anchors * cfg.orient.max_main * cfg.orient.max_sec))
+    radius = (cfg.orient.patch_size - cfg.orient.patch_size % 2) // 2
 
     rows = []
     pending = []
@@ -95,17 +111,14 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         origin, octv = nxt
         oi += 1
         upsampled = octv.voxsp < grid.voxsp
-        with stage("detect"):
-            # LoG builds, detection runs, then the volume frees before the
-            # gradient field builds (peak memory = one field at a time).
-            log_vol = octv.log()
-            sanitize.watch(f"scalespace.log[o{oi}]", log_vol)
-            anch = detect_anchors(log_vol, octv.real_shape, det_cfg,
-                                  mesh=mesh)
-            sanitize.watch(f"detect[o{oi}]", anch.subvox)
-            n_anch_d = jnp.sum(anch.valid)      # async; host pull deferred
-            del log_vol
         if mesh is not None:
+            with stage("detect"):
+                log_vol = octv.log()
+                sanitize.watch(f"scalespace.log[o{oi}]", log_vol)
+                anch = detect_anchors(log_vol, octv.real_shape, det_cfg,
+                                      mesh=mesh)
+                sanitize.watch(f"detect[o{oi}]", anch.subvox)
+                del log_vol
             out = _describe_octave_mesh(octv, anch, upsampled, cfg, mesh)
             if out is not None:
                 out.update(oi=oi, voxsp=octv.voxsp, origin=origin,
@@ -114,85 +127,57 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             anchor_base += anch.capacity
             del octv, anch
             continue
-        # Anchor compaction: the static detect capacity is sized for dense
-        # maps; real octaves carry a few hundred valid anchors, so the
-        # orientation/descriptor stages run on a valid-first compacted
-        # buffer (~8x less work at bench scale). Coarse granularity (>=512
-        # chunks) bounds the distinct compiled programs. The compaction
-        # size is SPECULATED at the smallest bucket and orientation
-        # dispatched immediately: the anchor-count and
-        # orientation-lane-count pulls then merge into ONE host round trip,
-        # overlapped with the orientation kernel. Octaves that overflow the
-        # speculative bucket (dense maps) re-run orientation at the true
-        # size — the rare case pays one extra dispatch, the common case
-        # saves a ~100 ms relay sync.
-        astep = 512
-        spec_k = min(astep, anch.capacity)
 
-        def compact(kk):
-            if kk < anch.capacity:
-                order_a = jnp.argsort(~anch.valid, stable=True)[:kk]
-                return order_a, _dc.replace(
-                    anch, coords=anch.coords[order_a],
-                    valid=anch.valid[order_a])
-            return None, anch
-
+        with stage("detect"):
+            # Fused LoG + detection + valid-first anchor compaction; the
+            # LoG volume lives only inside the program.
+            coords_c, valid_c, order_a, subvox, n_anch_d = octv.log_detect(
+                det_cfg, spec_k)
+            sanitize.watch(f"detect[o{oi}]", subvox)
         with stage("orient"):
             grad_vol = octv.grad()
             sanitize.watch(f"scalespace.grad[o{oi}]", grad_vol)
-            order_a, anch_c = compact(spec_k)
-            ori = orient_anchors(grad_vol, anch_c, octv.real_shape,
-                                 upsampled, cfg.orient)
-            sanitize.watch(f"orient[o{oi}]", ori.rfinal)
-            n_anch, n_valid = jax.device_get(
-                (n_anch_d, jnp.sum(ori.valid)))
-            n_anch, n_valid = int(n_anch), int(n_valid)
-            kk = min(bucket(max(n_anch, 1), astep), anch.capacity)
-            if kk > spec_k:     # speculation overflowed: redo at true size
-                order_a, anch_c = compact(kk)
-                ori = orient_anchors(grad_vol, anch_c, octv.real_shape,
-                                     upsampled, cfg.orient)
-                n_valid = int(jnp.sum(ori.valid))
-            flat_valid_dev = ori.valid.reshape(-1)
-        K, M, S = ori.valid.shape
-        if n_valid == 0:
-            anchor_base += anch.capacity
-            del octv, anch, ori, grad_vol
-            continue
-        cap = min(bucket(max(n_valid, 128), cap_step), K * M * S)
-        if n_valid > cfg.describe.max_descriptors:
-            # overflow: keep the first max_descriptors lanes
-            cap = min(bucket(cfg.describe.max_descriptors, cap_step),
-                      K * M * S)
-        # Device-side lane compaction (valid lanes first, anchor-major
-        # order preserved within the valid set).
-        order = jnp.argsort(~flat_valid_dev, stable=True)[:cap]
-        lane_anchor_d = order // (M * S)
-        lane_main_d = (order // S) % M
-        lane_sec_d = order % S
-        coords_d = anch_c.coords[lane_anchor_d]
-        rfin_d = ori.rfinal.reshape(-1, 3, 3)[order]
-        lane_ok_d = flat_valid_dev[order]
+            stride = 2 if upsampled else 1
+            ofn = _compiled_orient(
+                tuple(grad_vol.shape[:3]), tuple(octv.real_shape), stride,
+                radius, cfg.orient.eqsp_size, cfg.orient.max_main,
+                cfg.orient.max_sec, float(cfg.orient.cutoff_magn),
+                float(cfg.orient.gw_sig), 128, lane_cap=lane_cap)
+            (mains, secs, rfin_l, lane_ok, lane_anchor, lane_main,
+             lane_sec, coords_l, n_valid_d) = ofn(grad_vol, coords_c,
+                                                  valid_c)
+            sanitize.watch(f"orient[o{oi}]", rfin_l)
         with stage("describe"):
             descs, ok = describe_anchors(
-                grad_vol, coords_d, rfin_d, lane_ok_d, octv.real_shape,
+                grad_vol, coords_l, rfin_l, lane_ok, octv.real_shape,
                 upsampled, cfg.describe)
         # Defer every host pull to one consolidated device_get after the
         # octave loop: each pull syncs the tunneled host (~100 ms latency),
         # so per-octave pulls dominate the small-array traffic they carry.
         pending.append(dict(
             oi=oi, voxsp=octv.voxsp, origin=origin, base=anchor_base,
+            counts=(n_anch_d, n_valid_d),
             desc=descs,
-            dev=(ok & lane_ok_d, lane_anchor_d, lane_main_d, lane_sec_d,
-                 coords_d, rfin_d, anch.subvox, ori.main_bin, ori.sec_bin,
-                 order_a if order_a is not None
-                 else jnp.arange(K, dtype=jnp.int32))))
-        anchor_base += anch.capacity
-        del octv, anch, ori, grad_vol
+            dev=(ok & lane_ok, lane_anchor, lane_main, lane_sec,
+                 coords_l, rfin_l, subvox, mains, secs, order_a)))
+        anchor_base += det_cfg.max_anchors
+        del octv, grad_vol
 
     sanitize.flush()        # stage-mode NaN checks drain in one pull
-    for p, host in zip(pending,
-                       jax.device_get([p["dev"] for p in pending])):
+    pulled = jax.device_get([(p["dev"], p.get("counts")) for p in pending])
+    # Overflow check, folded into the one consolidated pull: octaves whose
+    # anchor count beat the speculative frame, or whose valid-lane count
+    # beat the static lane frame, redo the whole chain at full capacity
+    # (rare: dense maps).
+    if mesh is None and _caps is None and any(
+            c is not None and (int(c[0]) > spec_k or int(c[1]) > lane_cap)
+            for _dev, c in pulled):
+        full = (det_cfg.max_anchors,
+                min(bucket(cfg.describe.max_descriptors, 128),
+                    det_cfg.max_anchors * cfg.orient.max_main
+                    * cfg.orient.max_sec))
+        return describe_grid(grid, cfg, name=name, _caps=full)
+    for p, (host, _c) in zip(pending, pulled):
         (ok, lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
          all_mains, all_secs, order_a_h) = host
         # Mesh capacities round up to whole shards; clip so a mesh run keeps

@@ -103,12 +103,12 @@ def _neg_semidefinite(H: jnp.ndarray) -> jnp.ndarray:
     return (i1 <= 0) & (i2 >= 0) & (i3 <= 0)
 
 
-@functools.lru_cache(maxsize=32)
-@warmable
-def _compiled_detect(shape: Tuple[int, int, int],
-                     real_shape: Tuple[int, int, int],
-                     threshold: float, exclude_border: int, max_offset: float,
-                     n_iter: int, capacity: int, mesh: Mesh = None):
+def _detect_core(shape: Tuple[int, int, int],
+                 real_shape: Tuple[int, int, int],
+                 threshold: float, exclude_border: int, max_offset: float,
+                 n_iter: int, capacity: int, mesh: Mesh = None):
+    """Builds the (unjitted) detection closures; shared by the standalone
+    program and the fused log+detect program (ops/scalespace.py)."""
     rx, ry, rz = real_shape
     eb = exclude_border
 
@@ -190,7 +190,7 @@ def _compiled_detect(shape: Tuple[int, int, int],
         return pos, subvox, vals, valid_seed & good
 
     if mesh is None:
-        return jax.jit(detect)
+        return detect
 
     # Capacity mode (multi-chip): the LoG volume STAYS sharded in x-slabs —
     # no device holds the full field. Each device finds its slab's top-K
@@ -245,7 +245,17 @@ def _compiled_detect(shape: Tuple[int, int, int],
                    # the Newton fori_loop carries replicated seeds through
                    # shard-varying gathers; skip the static VMA check
                    check_vma=False)
-    return jax.jit(sm)
+    return sm
+
+
+@functools.lru_cache(maxsize=32)
+@warmable
+def _compiled_detect(shape: Tuple[int, int, int],
+                     real_shape: Tuple[int, int, int],
+                     threshold: float, exclude_border: int, max_offset: float,
+                     n_iter: int, capacity: int, mesh: Mesh = None):
+    return jax.jit(_detect_core(shape, real_shape, threshold, exclude_border,
+                                max_offset, n_iter, capacity, mesh))
 
 
 def detect_anchors(log_vol: jnp.ndarray, real_shape, cfg: DetectConfig,

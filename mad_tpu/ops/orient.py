@@ -207,7 +207,7 @@ def _compiled_orient(shape: Tuple[int, int, int],
                      real_shape: Tuple[int, int, int], stride: int,
                      radius: int, eqsp_size: int, max_main: int, max_sec: int,
                      cutoff: float, gw_sig: float, chunk: int,
-                     mesh: Mesh = None, shard_k: int = 0):
+                     mesh: Mesh = None, shard_k: int = 0, lane_cap: int = 0):
     eqsp = get_eqsp(eqsp_size)
     hist = zone_hist_fn(eqsp)
     mask_np = _sphere_mask(radius, gw_sig).reshape(-1)
@@ -301,6 +301,26 @@ def _compiled_orient(shape: Tuple[int, int, int],
                 secs.reshape(k, max_main, max_sec),
                 rfin.reshape(k, max_main, max_sec, 3, 3),
                 ok.reshape(k, max_main, max_sec))
+
+    if lane_cap:
+        # Fused orientation + lane compaction (single-device fast path):
+        # valid lanes first into a STATIC lane_cap frame, ready for the
+        # descriptor program — no intermediate host sync, no
+        # data-dependent capacity bucket.
+        ms = max_main * max_sec
+
+        def orient_fused(grad, coords, valid):
+            mains, secs, rfin, ok = orient(grad, coords, valid)
+            flat_ok = ok.reshape(-1)
+            order = jnp.argsort(~flat_ok, stable=True)[:lane_cap]
+            lane_anchor = (order // ms).astype(jnp.int32)
+            lane_main = ((order // max_sec) % max_main).astype(jnp.int32)
+            lane_sec = (order % max_sec).astype(jnp.int32)
+            return (mains, secs, rfin.reshape(-1, 3, 3)[order],
+                    flat_ok[order], lane_anchor, lane_main, lane_sec,
+                    coords[lane_anchor], jnp.sum(flat_ok))
+
+        return jax.jit(orient_fused)
 
     if mesh is None:
         return jax.jit(orient)

@@ -128,6 +128,40 @@ def _compiled_log(shape: Tuple[int, int, int], sig_init: float,
 
 @functools.lru_cache(maxsize=32)
 @warmable
+def _compiled_log_detect(shape: Tuple[int, int, int], sig_init: float,
+                         sig_presmooth: float, up: bool, truncate: float,
+                         real_shape: Tuple[int, int, int], threshold: float,
+                         exclude_border: int, max_offset: float, n_iter: int,
+                         capacity: int, spec_k: int):
+    """Fused LoG + anchor detection + valid-first anchor compaction: one
+    dispatch, no LoG volume crossing a program boundary, no host sync for
+    the anchor count (it returns as an async scalar). On the tunneled-host
+    topology every program call and every sync costs ~100-150 ms, so the
+    fused chain is what makes the steady-state describe pass latency-lean
+    (engine/pipeline.py fused path)."""
+    from .detect import _detect_core
+
+    log_shape = (tuple(2 * s - 1 for s in shape) if up else tuple(shape))
+    det = _detect_core(log_shape, tuple(real_shape), float(threshold),
+                       int(exclude_border), float(max_offset), int(n_iter),
+                       int(capacity))
+
+    def build(vol):
+        if up:
+            vol = upsample2(vol)
+            if sig_presmooth:
+                vol = gaussian_filter3d(vol, sig_presmooth, truncate)
+        log_resp, _ = log_filter3d(vol, sig_init, truncate)
+        pos, subvox, vals, valid = det(log_resp)
+        n_anch = jnp.sum(valid)
+        order_a = jnp.argsort(~valid, stable=True)[:spec_k].astype(jnp.int32)
+        return pos[order_a], valid[order_a], order_a, subvox, n_anch
+
+    return jax.jit(build)
+
+
+@functools.lru_cache(maxsize=32)
+@warmable
 def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
                    sig_presmooth: float, up: bool, truncate: float,
                    dtype: str = "float32", mesh=None):
@@ -186,6 +220,16 @@ class LazyOctave:
         if self._mesh is None:      # kwarg omitted: manifest-key stability
             return _compiled_log(*self._args)(self._data)
         return _compiled_log(*self._args, mesh=self._mesh)(self._data)
+
+    def log_detect(self, det_cfg, spec_k: int):
+        """Fused LoG + detection + anchor compaction (single-device fast
+        path): returns (coords_c, valid_c, order_a, subvox_full, n_anch),
+        all device-resident, no sync."""
+        fn = _compiled_log_detect(
+            *self._args, tuple(self.real_shape), float(det_cfg.threshold_abs),
+            int(det_cfg.exclude_border), float(det_cfg.max_offset),
+            int(det_cfg.newton_iters), int(det_cfg.max_anchors), int(spec_k))
+        return fn(self._data)
 
     def grad(self):
         from ..parallel.mesh import mesh_size

@@ -332,58 +332,57 @@ def _octave_params(grid_shape: Tuple[int, int, int], cfg: MadConfig):
 def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
                       describe_caps: Sequence[int] = ()):
     """Yield (jitted_fn, abstract_args) for every describe-side program the
-    pipeline will need for a grid of ``grid_shape`` (pre-padding voxels).
+    FUSED pipeline (engine/pipeline.describe_grid) will need for a grid of
+    ``grid_shape`` (pre-padding voxels): per octave, the fused
+    LoG+detect+compaction program, the gradient program, the fused
+    orientation+lane-compaction program at the static lane frame, and the
+    descriptor program. Capacities are static (cfg.describe.static_lanes),
+    so this IS the complete describe-side inventory — no data-dependent
+    buckets remain.
 
-    describe_caps: oriented-lane capacities to prewarm for the descriptor
-    program; data-dependent, so callers pass the buckets they expect (the
-    overflow capacity cfg.describe.max_descriptors is the common case on
-    dense maps).
+    describe_caps: extra lane frames to prewarm (e.g. the max_descriptors
+    overflow frame for dense maps).
     """
+    from ..core.config import bucket as _bucket
     from ..ops import scalespace as ssp
     from ..ops.describe import _compiled_describe
-    from ..ops.detect import _compiled_detect
     from ..ops.orient import _compiled_orient
 
     ss, det, ori, dsc = cfg.scalespace, cfg.detect, cfg.orient, cfg.describe
     radius = (ori.patch_size - ori.patch_size % 2) // 2
     f32 = jnp.float32
+    spec_k = min(512, int(det.max_anchors))
+    lane_cap = min(_bucket(dsc.static_lanes, 128),
+                   det.max_anchors * ori.max_main * ori.max_sec)
 
     for dims, real_shape, up in _octave_params(grid_shape, cfg):
         vol = jax.ShapeDtypeStruct(dims, f32)
         args = (dims, float(ss.detect_sigma), float(ss.presmooth_sigma),
                 up, float(ss.truncate))
-        log_fn = ssp._compiled_log(*args)
+        ld_fn = ssp._compiled_log_detect(
+            *args, tuple(real_shape), float(det.threshold_abs),
+            int(det.exclude_border), float(det.max_offset),
+            int(det.newton_iters), int(det.max_anchors), spec_k)
         n_vox = 1
         for s in real_shape:
             n_vox *= s
         gdtype = ("bfloat16" if n_vox > ssp.LazyOctave.BF16_VOXELS
                   else "float32")
         grad_fn = ssp._compiled_grad(*args, dtype=gdtype)
-        yield log_fn, (vol,)
+        yield ld_fn, (vol,)
         yield grad_fn, (vol,)
-
-        log_shape = jax.eval_shape(log_fn, vol).shape
-        det_fn = _compiled_detect(log_shape, real_shape,
-                                  float(det.threshold_abs),
-                                  int(det.exclude_border),
-                                  float(det.max_offset),
-                                  int(det.newton_iters),
-                                  int(det.max_anchors))
-        yield det_fn, (jax.ShapeDtypeStruct(log_shape, f32),)
 
         grad_sd = jax.eval_shape(grad_fn, vol)
         stride = 2 if up else 1
         ori_fn = _compiled_orient(grad_sd.shape[:3], real_shape, stride,
                                   radius, ori.eqsp_size, ori.max_main,
                                   ori.max_sec, float(ori.cutoff_magn),
-                                  float(ori.gw_sig), 128)
-        # Anchor compaction (engine/pipeline.py) floors the orient batch at
-        # 512 valid-first anchors; that is the program real octaves hit.
-        k = min(512, int(det.max_anchors))
-        yield ori_fn, (grad_sd, jax.ShapeDtypeStruct((k, 3), jnp.int32),
-                       jax.ShapeDtypeStruct((k,), jnp.bool_))
+                                  float(ori.gw_sig), 128, lane_cap=lane_cap)
+        yield ori_fn, (grad_sd,
+                       jax.ShapeDtypeStruct((spec_k, 3), jnp.int32),
+                       jax.ShapeDtypeStruct((spec_k,), jnp.bool_))
 
-        for cap in describe_caps:
+        for cap in tuple(describe_caps) + (lane_cap,):
             dsc_fn = _compiled_describe(grad_sd.shape[:3], real_shape,
                                         bool(up), radius, dsc.subeqsp_size,
                                         dsc.subregions,
