@@ -117,7 +117,7 @@ def _compiled_pack_overlap(m: int, box: tuple, frame: tuple, zp: int):
     X, Y = frame
 
     def run(dens, offsets):
-        bitw = jnp.arange(32, dtype=jnp.uint32)
+        bitw = np.arange(32, dtype=np.uint32)   # numpy: no device constant
 
         def pack_one(args):
             d, off = args
@@ -300,8 +300,12 @@ def _compiled_enumerate_head(k: int, head: int, chunk: int):
     from jax import lax
 
     nmax = _ENUM_NMAX
-    slots = jnp.arange(k, dtype=jnp.int32)
-    cols = jnp.arange(nmax, dtype=jnp.int32)
+    # Numpy closure constants: eager jnp arrays embed device-resident
+    # constants into the MLIR, and each pulls through the tunneled host at
+    # lower time (observed 189 s for a (10,) int32 under congestion) —
+    # see ops/orient.zone_ids_fn.
+    slots = np.arange(k, dtype=np.int32)
+    cols = np.arange(nmax, dtype=np.int32)
 
     def run(sym, tab, m):
         # sym: (nmax, nmax) f32 symmetric overlap (padded);
@@ -321,7 +325,7 @@ def _compiled_enumerate_head(k: int, head: int, chunk: int):
                 return (rem, slot, m2), None
 
             init = (r, jnp.zeros_like(r),
-                    jnp.zeros((r.shape[0], nmax), jnp.float32))
+                    np.zeros((r.shape[0], nmax), np.float32))
             (rem, slot, m2), _ = lax.scan(
                 step, init, (cols, tab.astype(jnp.int32)))
             return m2
@@ -330,7 +334,7 @@ def _compiled_enumerate_head(k: int, head: int, chunk: int):
 
         def body(ci, state):
             best_neg, best_rank = state
-            r = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            r = ci * chunk + np.arange(chunk, dtype=np.int32)
             valid = r < m
             m2 = decode(r)
             s = jnp.max(sym[None] * m2[:, :, None] * m2[:, None, :],
@@ -341,8 +345,8 @@ def _compiled_enumerate_head(k: int, head: int, chunk: int):
             top, idx = lax.top_k(neg, head)
             return top, rank[idx]
 
-        init = (jnp.full((head,), -jnp.inf, jnp.float32),
-                jnp.zeros((head,), jnp.int32))
+        init = (np.full((head,), -np.inf, np.float32),
+                np.zeros((head,), np.int32))
         best_neg, best_rank = lax.fori_loop(0, n_chunks, body, init)
         return best_rank, -best_neg
 
@@ -453,21 +457,22 @@ def _compiled_hetero_head(sizes: tuple, max_n: int, nsol: int, head: int,
 
     def run(sym, lists):
         def one_chunk(r0):
-            r = r0 + jnp.arange(chunk, dtype=jnp.int32)
+            # Numpy in-trace constants: see _compiled_enumerate_head.
+            r = r0 + np.arange(chunk, dtype=np.int32)
             valid = r < m
             glob = jnp.stack(
                 [lists[g, (r // strides[g]) % sizes[g]]
                  for g in range(g_count)], axis=1)             # (chunk, G)
             if pair_idx:
-                i0 = jnp.asarray([p[0] for p in pair_idx])
-                i1 = jnp.asarray([p[1] for p in pair_idx])
+                i0 = np.asarray([p[0] for p in pair_idx])
+                i1 = np.asarray([p[1] for p in pair_idx])
                 s = jnp.sum(sym[glob[:, i0], glob[:, i1]], axis=1)
             else:
-                s = jnp.zeros(chunk, jnp.float32)
+                s = jnp.zeros_like(r, dtype=jnp.float32)
             s = jnp.where(valid, s, jnp.inf)
             neg, i = lax.top_k(-s, k_local)
             return -neg, r[i]
-        starts = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+        starts = np.arange(n_chunks, dtype=np.int32) * chunk
         sums, idxs = lax.map(one_chunk, starts)
         flat_s = sums.reshape(-1)
         flat_r = idxs.reshape(-1)

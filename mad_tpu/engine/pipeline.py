@@ -27,6 +27,69 @@ from ..utils.profiling import stage
 from ..utils import sanitize
 
 
+# ---------------------------------------------------------------------------
+# Speculative frame sizing. The fused chain runs at STATIC (anchor, lane)
+# frames; octaves that overflow redo at the next power-of-2 rung instead of
+# the full-capacity frame (8x the device work for a 15 % overflow). The
+# measured rung is remembered per (name, grid shape) — in process and in a
+# small JSON next to the persistent XLA cache — so steady-state passes and
+# warm processes run exactly ONE right-sized chain, no redo.
+# ---------------------------------------------------------------------------
+
+_frame_lock = __import__("threading").Lock()
+_frame_mem: Optional[dict] = None
+
+
+def _frame_path() -> str:
+    import os
+    base = os.environ.get("MAD_TPU_CACHE",
+                          os.path.expanduser("~/.cache/mad_tpu_xla"))
+    return os.path.join(base, "frame_memory.json")
+
+
+def _frames_load() -> dict:
+    global _frame_mem
+    if _frame_mem is None:
+        import json
+        try:
+            with open(_frame_path()) as f:
+                _frame_mem = {k: tuple(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            _frame_mem = {}
+    return _frame_mem
+
+
+def _frames_get(key: str):
+    with _frame_lock:
+        return _frames_load().get(key)
+
+
+def _frames_put(key: str, caps) -> None:
+    import json, os
+    with _frame_lock:
+        mem = _frames_load()
+        if mem.get(key) == caps:
+            return
+        mem[key] = tuple(int(c) for c in caps)
+        try:
+            path = _frame_path()
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump({k: list(v) for k, v in mem.items()}, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+
+
+def _rung(n: int, lo: int, hi: int) -> int:
+    """Smallest power-of-2 multiple of ``lo`` that holds n, clamped to hi."""
+    p = lo
+    while p < n and p < hi:
+        p *= 2
+    return min(max(p, lo), hi)
+
+
 @dataclass
 class DescriptorSet:
     """Dense descriptor table for one structure (host arrays).
@@ -89,10 +152,16 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
     from ..ops.orient import _compiled_orient
 
     det_cfg = cfg.detect
-    spec_k, lane_cap = _caps or (
-        min(512, det_cfg.max_anchors),
-        min(bucket(cfg.describe.static_lanes, 128),
-            det_cfg.max_anchors * cfg.orient.max_main * cfg.orient.max_sec))
+    full_k = det_cfg.max_anchors
+    full_l = min(bucket(cfg.describe.max_descriptors, 128),
+                 full_k * cfg.orient.max_main * cfg.orient.max_sec)
+    frame_key = f"{name or grid.name}|{tuple(grid.shape)}"
+    spec_k, lane_cap = (
+        _caps
+        or (None if mesh is not None else _frames_get(frame_key))
+        or (min(512, full_k),
+            min(bucket(cfg.describe.static_lanes, 128), full_l)))
+    spec_k, lane_cap = min(spec_k, full_k), min(lane_cap, full_l)
     radius = (cfg.orient.patch_size - cfg.orient.patch_size % 2) // 2
 
     rows = []
@@ -165,18 +234,41 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
 
     sanitize.flush()        # stage-mode NaN checks drain in one pull
     pulled = jax.device_get([(p["dev"], p.get("counts")) for p in pending])
+    import os as _os
+    if _os.environ.get("MAD_TPU_DEBUG_COUNTS"):
+        print(f"MaD> describe[{name}]: (n_anch, n_valid) per octave = "
+              f"{[tuple(map(int, c)) for _d, c in pulled if c is not None]}"
+              f", frames = ({spec_k}, {lane_cap})")
     # Overflow check, folded into the one consolidated pull: octaves whose
     # anchor count beat the speculative frame, or whose valid-lane count
-    # beat the static lane frame, redo the whole chain at full capacity
-    # (rare: dense maps).
-    if mesh is None and _caps is None and any(
-            c is not None and (int(c[0]) > spec_k or int(c[1]) > lane_cap)
-            for _dev, c in pulled):
-        full = (det_cfg.max_anchors,
-                min(bucket(cfg.describe.max_descriptors, 128),
-                    det_cfg.max_anchors * cfg.orient.max_main
-                    * cfg.orient.max_sec))
-        return describe_grid(grid, cfg, name=name, _caps=full)
+    # beat the static lane frame, redo the whole chain at the next
+    # power-of-2 rung that holds the measured counts (NOT the full frame —
+    # a 15 % lane overflow must not buy 8x the device work). The rung is
+    # remembered per (name, shape) so only the very first process pays the
+    # redo; recursion terminates because caps grow strictly to the full
+    # frame.
+    counts = [(int(c[0]), int(c[1])) for _dev, c in pulled if c is not None]
+    if mesh is None and counts:
+        max_a = max(c[0] for c in counts)
+        max_l = max(c[1] for c in counts)
+        if max_a > spec_k or max_l > lane_cap:
+            new_k = _rung(max_a, min(512, full_k), full_k)
+            # Lane counts were measured under a truncated anchor frame:
+            # scale the estimate up by the anchor shortfall (x1.5 safety).
+            est_l = max_l if max_a <= spec_k else int(
+                max_l * max_a / max(spec_k, 1) * 1.5)
+            new_l = _rung(est_l, 512, full_l)
+            if new_k <= spec_k and new_l <= lane_cap:   # safety: must grow
+                new_k, new_l = full_k, full_l
+            _frames_put(frame_key, (new_k, new_l))
+            return describe_grid(grid, cfg, name=name,
+                                 _caps=(max(new_k, spec_k),
+                                        max(new_l, lane_cap)))
+        if _caps is None:
+            # Remember the right-sized rung (shrinks oversized defaults for
+            # small structures, e.g. a subunit at the 2048-lane default).
+            _frames_put(frame_key, (_rung(max_a, min(512, full_k), full_k),
+                                    _rung(max_l, 512, full_l)))
     for p, (host, _c) in zip(pending, pulled):
         (ok, lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
          all_mains, all_secs, order_a_h) = host

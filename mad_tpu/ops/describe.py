@@ -93,21 +93,26 @@ def _compiled_describe(shape: Tuple[int, int, int],
     for r in range(subregions):
         pts = np.nonzero(regs == r)[0]
         perm[r, : len(pts)] = pts
-    rs = jnp.asarray(real_shape)
+    # Numpy closure constants: device-resident constants cost a tunnel
+    # sync per lower (see ops/orient.zone_ids_fn).
+    rs = np.asarray(real_shape)
+    lattice_f = np.asarray(lattice_np, dtype=np.float32)
+    perm_ok = perm >= 0
+    perm_clip = np.clip(perm, 0, None)
 
     def one_descriptor(grad, coord, rfinal, valid_in, goff=None):
         # The in-bounds test is always in GLOBAL coordinates; ``goff``
         # (capacity mode) shifts the sample lattice into a halo-extended
         # local block, clipped to its extent — lanes owned by another shard
         # gather garbage there and carry valid_in=False.
-        pts = jnp.asarray(lattice_np) @ rfinal + coord.astype(jnp.float32)
+        pts = lattice_f @ rfinal + coord.astype(jnp.float32)
         in_bounds = jnp.all((pts >= 0) & (pts <= (rs - 1).astype(pts.dtype)))
         ok = valid_in & in_bounds
         if goff is not None:
             pts = pts - goff.astype(pts.dtype)
         # Nearest-neighbor with .5 ties to the lower index (scipy RGI parity).
         ids = jnp.clip(jnp.ceil(pts - 0.5).astype(jnp.int32), 0,
-                       jnp.asarray(grad.shape[:3]) - 1)
+                       np.asarray(grad.shape[:3]) - 1)
         g = grad[ids[:, 0], ids[:, 1], ids[:, 2]].astype(jnp.float32)  # (P, 3)
         magn = jnp.linalg.norm(g, axis=-1)
         dirs = jnp.where((magn > cutoff)[:, None],
@@ -115,13 +120,12 @@ def _compiled_describe(shape: Tuple[int, int, int],
         rotated = dirs @ rfinal.T
         zones = zone_ids(rotated)
         zones = jnp.where(magn < zero_magn, -1, zones)
-        zperm = jnp.where(jnp.asarray(perm) >= 0,
-                          zones[jnp.clip(jnp.asarray(perm), 0, None)], -1)
+        zperm = jnp.where(perm_ok, zones[perm_clip], -1)
 
         def one_zone(z):
             return jnp.sum(zperm == z, axis=-1)                   # (R,)
 
-        counts = lax.map(one_zone, jnp.arange(subeqsp_size))       # (Z, R)
+        counts = lax.map(one_zone, np.arange(subeqsp_size))        # (Z, R)
         desc = jnp.moveaxis(counts, 0, -1).reshape(-1)             # (R*Z,)
         # Counts <= patch_size^3 fit int16 (reference stores int16 too,
         # mad/Descriptor.py:198); halves the device->host pull.

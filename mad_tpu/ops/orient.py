@@ -65,23 +65,30 @@ class OrientedAnchors:
 
 
 def zone_ids_fn(eqsp: EQSPSphere):
-    """Jittable direction -> EQSP zone assignment closure."""
+    """Jittable direction -> EQSP zone assignment closure.
+
+    Closure constants stay NUMPY: eager ``jnp.asarray`` would park them on
+    the device, and embedding a device-resident constant into MLIR at
+    lower time forces a device sync through the tunneled host — observed
+    at up to 80 s for a 12-byte array under service congestion. Numpy
+    constants embed host-side with zero pulls."""
     colat_edges, belt_start, belt_count, belt_theta0 = eqsp.zone_lookup_tables()
-    edges = jnp.asarray(colat_edges[:-1])
-    starts = jnp.asarray(belt_start)
-    counts = jnp.asarray(belt_count)
-    theta0s = jnp.asarray(belt_theta0)
+    edges = np.asarray(colat_edges[:-1])
+    starts = np.asarray(belt_start)
+    counts = np.asarray(belt_count)
+    theta0s = np.asarray(belt_theta0)
 
     def zone_ids(dirs):
         theta, phi = spherical_angles(dirs)
         belt = jnp.clip(
             jnp.searchsorted(edges, phi, side="right"), 0, starts.shape[0] - 1
         )
-        m = counts[belt].astype(dirs.dtype)
-        rel = (theta - theta0s[belt]) / (TWO_PI / m)
+        cnt = jnp.take(counts, belt)
+        m = cnt.astype(dirs.dtype)
+        rel = (theta - jnp.take(theta0s, belt)) / (TWO_PI / m)
         k = jnp.floor(rel - jnp.floor(rel / m) * m)
-        k = jnp.clip(k.astype(jnp.int32), 0, counts[belt] - 1)
-        return starts[belt] + k
+        k = jnp.clip(k.astype(jnp.int32), 0, cnt - 1)
+        return jnp.take(starts, belt) + k
 
     return zone_ids
 
@@ -93,7 +100,7 @@ def weighted_histogram(ids: jnp.ndarray, weights: jnp.ndarray, nzones: int
     def one_zone(z):
         return jnp.sum(jnp.where(ids == z, weights, 0.0), axis=-1)
 
-    counts = lax.map(one_zone, jnp.arange(nzones, dtype=ids.dtype))
+    counts = lax.map(one_zone, np.arange(nzones, dtype=np.int32))
     return jnp.moveaxis(counts, 0, -1)
 
 
@@ -112,7 +119,7 @@ def zone_hist_fn(eqsp: EQSPSphere):
     """Jittable weighted zone histogram with the reference's mask semantics
     (mad/Orientator.py:323-335): per zone, strict bounds on theta (or
     theta + 2pi, for zones whose table range exceeds 2pi) and phi."""
-    b = jnp.asarray(ref_zone_bounds(eqsp))
+    b = ref_zone_bounds(eqsp)          # numpy: see zone_ids_fn
 
     def hist(dirs, w):
         theta, phi = spherical_angles(dirs)
@@ -137,8 +144,8 @@ def zone_assign_fn(eqsp: EQSPSphere):
     boundary masks, the LAST matching zone wins (the reference overwrites a
     zone array in zone order), and unmatched directions default to zone 0
     (the array is zero-initialized)."""
-    b = jnp.asarray(ref_zone_bounds(eqsp))
-    zidx = jnp.arange(b.shape[0], dtype=jnp.int32)
+    b = ref_zone_bounds(eqsp)          # numpy: see zone_ids_fn
+    zidx = np.arange(b.shape[0], dtype=np.int32)
 
     def assign(dirs):
         theta, phi = spherical_angles(dirs)
@@ -225,11 +232,15 @@ def _compiled_orient(shape: Tuple[int, int, int],
     th4, ph4 = p4[:, 0], p4[:, 1]
     rot_to_pole = np.stack([_ref_rotation_to_pole(t, f)
                             for t, f in zip(th4, ph4)])
-    rot_to_pole_t = jnp.asarray(rot_to_pole, dtype=jnp.float32)
-    p_theta = jnp.asarray(th4, dtype=jnp.float32)
-    belt_first = jnp.asarray(np.round(eqsp.belt_first_theta, 4),
-                             dtype=jnp.float32)
-    rs = jnp.asarray(real_shape)
+    # Numpy closure constants: see zone_ids_fn (device-resident constants
+    # cost a tunnel sync per lower).
+    rot_to_pole_t = np.asarray(rot_to_pole, dtype=np.float32)
+    p_theta = np.asarray(th4, dtype=np.float32)
+    belt_first = np.asarray(np.round(eqsp.belt_first_theta, 4),
+                            dtype=np.float32)
+    rs = np.asarray(real_shape)
+    offsets_i32 = offsets_np.astype(np.int32)
+    mask_f = np.asarray(mask_np, dtype=np.float32)
     half = radius * stride
 
     def one_anchor(grad, coord, valid_in, goff=None):
@@ -244,14 +255,14 @@ def _compiled_orient(shape: Tuple[int, int, int],
         if goff is None:
             safe = jnp.clip(coord, half, jnp.maximum(rs - half - 1, half))
         else:
-            gdim = jnp.asarray(grad.shape[:3], jnp.int32)
+            gdim = np.asarray(grad.shape[:3], np.int32)
             safe = jnp.clip(coord - goff, half,
-                            jnp.maximum(gdim - half - 1, half))
-        pts = safe[None, :] + jnp.asarray(offsets_np, dtype=jnp.int32)  # (P,3)
+                            np.maximum(gdim - half - 1, half))
+        pts = safe[None, :] + offsets_i32                               # (P,3)
         g = grad[pts[:, 0], pts[:, 1], pts[:, 2]].astype(jnp.float32)   # (P,3)
         magn = jnp.linalg.norm(g, axis=-1)
         dirs = g / jnp.maximum(magn, 1e-30)[:, None]
-        w = jnp.asarray(mask_np) * (magn >= cutoff)
+        w = mask_f * (magn >= cutoff)
 
         q0 = _quantize(hist(dirs, w))
         flag0 = q0 > jnp.max(q0) * 0.8
@@ -259,7 +270,7 @@ def _compiled_orient(shape: Tuple[int, int, int],
         ok = ok & (n_main >= 1) & (n_main <= max_main) & (jnp.max(q0) > 0)
 
         def per_main(mbin):
-            Rm = rot_to_pole_t[mbin]
+            Rm = jnp.take(rot_to_pole_t, mbin, axis=0)
             Rm = jnp.where(mbin == 0, jnp.eye(3, dtype=Rm.dtype), Rm)
             q1 = _quantize(hist(dirs @ Rm.T, w))
             not_pole = q1[1:-1]
@@ -271,15 +282,16 @@ def _compiled_orient(shape: Tuple[int, int, int],
             sec_idx, n_sec = _first_k_flagged(flag1, max_sec)
             sec_bins = sec_idx.astype(jnp.int32) + 1
             main_ok = (m1 > 0) & (n_sec >= 1) & (n_sec <= max_sec)
-            ftheta = -(p_theta[sec_bins] - belt_first[sec_bins])
+            ftheta = -(jnp.take(p_theta, sec_bins)
+                       - jnp.take(belt_first, sec_bins))
             Rz = rotation_about_z(ftheta)                      # (S, 3, 3)
             rfin = Rz @ Rm[None]
-            sec_ok = jnp.arange(max_sec) < n_sec
+            sec_ok = np.arange(max_sec) < n_sec
             return sec_bins, rfin, main_ok & sec_ok
 
         mains = main_idx.astype(jnp.int32)
         sec_bins, rfin, sub_ok = jax.vmap(per_main)(mains)
-        main_ok = jnp.arange(max_main) < n_main
+        main_ok = np.arange(max_main) < n_main
         valid = ok & main_ok[:, None] & sub_ok
         return mains, sec_bins, rfin, valid
 

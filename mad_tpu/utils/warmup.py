@@ -62,6 +62,14 @@ def _manifest_path() -> str:
 def _load_manifest() -> dict:
     global _manifest_mem
     if _manifest_mem is None:
+        if os.environ.get("MAD_TPU_MANIFEST_RESET", "") not in ("", "0"):
+            # Start from an empty inventory: the file is rewritten with
+            # exactly the programs THIS process records. Run a steady-state
+            # workload under this flag to prune stale entries (old frame
+            # rungs, removed programs) that would otherwise burn replay
+            # pool slots every process start.
+            _manifest_mem = {}
+            return _manifest_mem
         try:
             with open(_manifest_path()) as f:
                 _manifest_mem = json.load(f)
@@ -194,6 +202,11 @@ class _WarmProxy:
                         # aval/layout drift: drop the stale executable and
                         # fall through to the ordinary dispatch path
                         _exe_cache.pop(key, None)
+                        if os.environ.get("MAD_TPU_DEBUG_WARM"):
+                            print(f"warm> STALE exe {self._qual}")
+                elif os.environ.get("MAD_TPU_DEBUG_WARM"):
+                    import traceback
+                    print(f"warm> exe MISS {self._qual} sig={_masked(sig)}")
         return self._fn(*a, **kw)
 
     def __getattr__(self, name):
@@ -351,47 +364,63 @@ def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
     ss, det, ori, dsc = cfg.scalespace, cfg.detect, cfg.orient, cfg.describe
     radius = (ori.patch_size - ori.patch_size % 2) // 2
     f32 = jnp.float32
-    spec_k = min(512, int(det.max_anchors))
-    lane_cap = min(_bucket(dsc.static_lanes, 128),
-                   det.max_anchors * ori.max_main * ori.max_sec)
+    full_l = min(_bucket(dsc.max_descriptors, 128),
+                 det.max_anchors * ori.max_main * ori.max_sec)
+    # Frames to prewarm: every rung the frame memory remembers for this
+    # grid shape (engine/pipeline sizes the chain from that memory, so
+    # those are the programs that actually run); the default speculative
+    # frame only when the shape has never been seen.
+    frames = set()
+    from ..engine import pipeline as _pl
+    with _pl._frame_lock:
+        mem = dict(_pl._frames_load())
+    suffix = f"|{tuple(grid_shape)}"
+    for k, caps in mem.items():
+        if k.endswith(suffix):
+            frames.add((min(int(caps[0]), det.max_anchors),
+                        min(int(caps[1]), full_l)))
+    if not frames:
+        frames.add((min(512, int(det.max_anchors)),
+                    min(_bucket(dsc.static_lanes, 128), full_l)))
 
     for dims, real_shape, up in _octave_params(grid_shape, cfg):
         vol = jax.ShapeDtypeStruct(dims, f32)
         args = (dims, float(ss.detect_sigma), float(ss.presmooth_sigma),
                 up, float(ss.truncate))
-        ld_fn = ssp._compiled_log_detect(
-            *args, tuple(real_shape), float(det.threshold_abs),
-            int(det.exclude_border), float(det.max_offset),
-            int(det.newton_iters), int(det.max_anchors), spec_k)
         n_vox = 1
         for s in real_shape:
             n_vox *= s
         gdtype = ("bfloat16" if n_vox > ssp.LazyOctave.BF16_VOXELS
                   else "float32")
         grad_fn = ssp._compiled_grad(*args, dtype=gdtype)
-        yield ld_fn, (vol,)
         yield grad_fn, (vol,)
-
         grad_sd = jax.eval_shape(grad_fn, vol)
         stride = 2 if up else 1
-        ori_fn = _compiled_orient(grad_sd.shape[:3], real_shape, stride,
-                                  radius, ori.eqsp_size, ori.max_main,
-                                  ori.max_sec, float(ori.cutoff_magn),
-                                  float(ori.gw_sig), 128, lane_cap=lane_cap)
-        yield ori_fn, (grad_sd,
-                       jax.ShapeDtypeStruct((spec_k, 3), jnp.int32),
-                       jax.ShapeDtypeStruct((spec_k,), jnp.bool_))
 
-        for cap in tuple(describe_caps) + (lane_cap,):
-            dsc_fn = _compiled_describe(grad_sd.shape[:3], real_shape,
-                                        bool(up), radius, dsc.subeqsp_size,
-                                        dsc.subregions,
-                                        float(dsc.cutoff_magn),
-                                        float(dsc.zero_magn), 128)
-            yield dsc_fn, (grad_sd,
-                           jax.ShapeDtypeStruct((cap, 3), jnp.int32),
-                           jax.ShapeDtypeStruct((cap, 3, 3), f32),
-                           jax.ShapeDtypeStruct((cap,), jnp.bool_))
+        for spec_k, lane_cap in sorted(frames):
+            ld_fn = ssp._compiled_log_detect(
+                *args, tuple(real_shape), float(det.threshold_abs),
+                int(det.exclude_border), float(det.max_offset),
+                int(det.newton_iters), int(det.max_anchors), spec_k)
+            yield ld_fn, (vol,)
+            ori_fn = _compiled_orient(grad_sd.shape[:3], real_shape, stride,
+                                      radius, ori.eqsp_size, ori.max_main,
+                                      ori.max_sec, float(ori.cutoff_magn),
+                                      float(ori.gw_sig), 128,
+                                      lane_cap=lane_cap)
+            yield ori_fn, (grad_sd,
+                           jax.ShapeDtypeStruct((spec_k, 3), jnp.int32),
+                           jax.ShapeDtypeStruct((spec_k,), jnp.bool_))
+
+            for cap in tuple(describe_caps) + (lane_cap,):
+                dsc_fn = _compiled_describe(
+                    grad_sd.shape[:3], real_shape, bool(up), radius,
+                    dsc.subeqsp_size, dsc.subregions,
+                    float(dsc.cutoff_magn), float(dsc.zero_magn), 128)
+                yield dsc_fn, (grad_sd,
+                               jax.ShapeDtypeStruct((cap, 3), jnp.int32),
+                               jax.ShapeDtypeStruct((cap, 3, 3), f32),
+                               jax.ShapeDtypeStruct((cap,), jnp.bool_))
 
 
 def warm_pipeline(grid_shapes: Iterable[Tuple[int, int, int]],
