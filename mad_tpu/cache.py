@@ -70,7 +70,10 @@ def load_matching(path: str):
 
 def save_descriptors(ds: DescriptorSet, path: str) -> None:
     with h5py.File(path, "w") as hf:
-        hf.create_dataset("dsc", data=np.asarray(ds.desc).astype(np.int16))
+        # ds.desc may carry 128-bucket zero padding rows (device frame);
+        # the h5 schema stores the exact-count table (reference parity).
+        hf.create_dataset("dsc",
+                          data=np.asarray(ds.desc)[:ds.n].astype(np.int16))
         info = np.stack([
             ds.anchor_id, ds.main_bin, ds.sec_bin, ds.octave,
             np.full(ds.n, ds.eqsp_size), np.full(ds.n, ds.subeqsp_size),

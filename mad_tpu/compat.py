@@ -107,6 +107,7 @@ def load_anchors(path: str) -> np.ndarray:
 
 def to_records(ds: DescriptorSet) -> List[AnchorRecord]:
     """Expand a DescriptorSet into per-anchor records."""
+    desc = np.asarray(ds.desc)      # one pull if device-resident
     return [
         AnchorRecord(
             index=int(ds.anchor_id[i]), oct_scale=int(ds.octave[i]),
@@ -114,6 +115,6 @@ def to_records(ds: DescriptorSet) -> List[AnchorRecord]:
             subv_map_coords=ds.subv_coords[i], main_bin=int(ds.main_bin[i]),
             sec_bin=int(ds.sec_bin[i]), rfinal=ds.rfinal[i],
             eqsp_size=ds.eqsp_size, subeqsp_size=ds.subeqsp_size,
-            lin_ar_subeqsp=ds.desc[i])
+            lin_ar_subeqsp=desc[i])
         for i in range(ds.n)
     ]

@@ -217,6 +217,33 @@ def _pad_rows(arr: np.ndarray, n: int, fill=0.0) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+@warmable
+def _compiled_select_exact(p: int, pe: int):
+    """Top-``pe`` selection feeding the exact re-score, fused into ONE
+    program: padding-row masking, the stable ordering by approximate
+    repeatability, and the gathers of the exact-kernel inputs. Replaces
+    six one-off eager device ops whose deferred compiles dominated the
+    matching stage's first pass on remote-compile backends (each eager
+    dispatch compiles its own program at first execution there).
+    ``n_rows``/``n_exact`` are dynamic scalars so one compile serves every
+    pair count within the (p, pe) bucket."""
+    import jax
+    import jax.numpy as jnp
+
+    lanes = np.arange(p)
+    elanes = np.arange(pe)
+    eye = np.eye(3, dtype=np.float32)
+
+    def run(rep, rot, hc, lc, n_rows, n_exact):
+        rep_m = jnp.where(lanes < n_rows, rep, -jnp.inf)
+        top = jnp.argsort(-rep_m, stable=True)[:pe]
+        er = jnp.where((elanes < n_exact)[:, None, None], rot[top], eye)
+        return top, er, hc[top], lc[top]
+
+    return jax.jit(run)
+
+
 def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
                       grid_shape, grid_origin, voxsp: float,
                       cfg: MatchConfig, min_exact: int = 0,
@@ -238,9 +265,18 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     dl = bucket(max(map_set.n, 128), 128)
 
     def pad_dev(arr, n):
+        # Host arrays (h5-cached sets) pad on host: the eager zeros+scatter
+        # pair would dispatch two one-off programs per shape. Device tables
+        # arrive 128-bucket-framed from describe (DescriptorSet.n_rows), so
+        # the device branch is a no-op except under mesh batch padding.
+        if isinstance(arr, np.ndarray):
+            return jnp.asarray(_pad_rows(arr, n) if arr.shape[0] != n
+                               else arr)
         a = jnp.asarray(arr)
         if a.shape[0] == n:
             return a
+        if a.shape[0] > n:
+            raise ValueError(f"descriptor frame {a.shape[0]} > bucket {n}")
         return jnp.zeros((n,) + a.shape[1:], a.dtype).at[: a.shape[0]].set(a)
 
     hi = pad_dev(sub_set.desc_norm, dh)   # device-resident descriptors
@@ -328,14 +364,17 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
         n_exact = min(bucket(want, 64), bucket(len(rows), 64))
         pe = batch_bucket(n_exact, 64, mesh)
         # Padding rows (>= len(rows)) must not enter the top selection.
-        rep_m = jnp.where(jnp.arange(p) < len(rows), rep_d, -jnp.inf)
-        if mesh is not None:
+        if mesh is None:
+            top_d, er, eh, el = _compiled_select_exact(p, pe)(
+                rep_d, rot_d, hc_d, lc_d, np.int32(len(rows)),
+                np.int32(n_exact))
+        else:
+            rep_m = jnp.where(jnp.arange(p) < len(rows), rep_d, -jnp.inf)
             rep_m = jax.device_put(rep_m, NamedSharding(mesh, P()))
-        top_d = jnp.argsort(-rep_m, stable=True)[:pe]
-        er = jnp.where((jnp.arange(pe) < n_exact)[:, None, None],
-                       rot_d[top_d], jnp.eye(3, dtype=jnp.float32))
-        eh, el = hc_d[top_d], lc_d[top_d]
-        if mesh is not None:
+            top_d = jnp.argsort(-rep_m, stable=True)[:pe]
+            er = jnp.where((jnp.arange(pe) < n_exact)[:, None, None],
+                           rot_d[top_d], jnp.eye(3, dtype=jnp.float32))
+            eh, el = hc_d[top_d], lc_d[top_d]
             er = jax.device_put(er, NamedSharding(mesh, P(ax, None, None)))
             eh = jax.device_put(eh, NamedSharding(mesh, P(ax, None)))
             el = jax.device_put(el, NamedSharding(mesh, P(ax, None)))

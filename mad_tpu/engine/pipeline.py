@@ -25,6 +25,8 @@ from ..ops.orient import orient_anchors
 from ..ops.describe import describe_anchors
 from ..utils.profiling import stage
 from ..utils import sanitize
+from ..utils.warmup import warmable as _warmable
+import functools as _functools
 
 
 # ---------------------------------------------------------------------------
@@ -99,8 +101,9 @@ class DescriptorSet:
     [index, main_bin, sec_bin, octave, eqsp_size, subeqsp_size].
     """
 
-    desc: "np.ndarray"        # (N, D) int16 counts (may be device-resident)
-    desc_norm: "np.ndarray"   # (N, D) float32 unit rows (may be device)
+    desc: "np.ndarray"        # (>=N, D) int16 counts (may be device; rows
+                              # beyond ``n`` are zero bucket padding)
+    desc_norm: "np.ndarray"   # (>=N, D) float32 unit rows (zero pads)
     coords: np.ndarray        # (N, 3) float32 voxel coords in own octave
     map_coords: np.ndarray    # (N, 3) float64 on-lattice coords (A)
     subv_coords: np.ndarray   # (N, 3) float64 subvoxel coords (A)
@@ -112,10 +115,14 @@ class DescriptorSet:
     eqsp_size: int = 112
     subeqsp_size: int = 16
     name: str = ""
+    n_rows: Optional[int] = None   # real row count; device desc frames are
+                                   # 128-bucketed so their shapes (and the
+                                   # programs consuming them) stay stable
+                                   # across runs
 
     @property
     def n(self) -> int:
-        return self.desc.shape[0]
+        return self.n_rows if self.n_rows is not None else self.desc.shape[0]
 
     def unique_anchor_coords(self, rows: Optional[np.ndarray] = None
                              ) -> np.ndarray:
@@ -123,6 +130,39 @@ class DescriptorSet:
         mad/MaD.py:427-428)."""
         c = self.subv_coords if rows is None else self.subv_coords[rows]
         return np.unique(c, axis=0)
+
+
+@_functools.lru_cache(maxsize=32)
+@_warmable
+def _compiled_gather_norm(lane_caps: tuple, kb: int):
+    """Fused keep-gather + octave concatenation + L2 normalization: one
+    program turns the per-octave (lane_cap, D) descriptor frames into the
+    final 128-bucketed (kb, D) int16 table and its unit-row float32 view,
+    rows beyond the real count zeroed. Replaces the per-octave eager
+    gathers / concatenate / norm whose shapes depended on the run's exact
+    keep counts — each of those dispatched a one-off program that paid a
+    deferred compile at first execution on remote-compile backends; the
+    bucketed frames here make the program shapes stable across runs, so
+    the warm manifest replays them."""
+    import jax
+    import jax.numpy as jnp
+
+    n_oct = len(lane_caps)
+
+    def run(*args):
+        descs, idx, mask = args[:n_oct], args[n_oct], args[n_oct + 1]
+        out = None
+        for o in range(n_oct):
+            g = descs[o][jnp.clip(idx[o], 0, lane_caps[o] - 1)]
+            g = jnp.where(mask[o][:, None], g, 0).astype(jnp.int16)
+            out = g if out is None else out + g     # masks are disjoint
+        norm = out.astype(jnp.float32)
+        lens = jnp.linalg.norm(norm, axis=1, keepdims=True)
+        norm = jnp.where(lens > 0, norm / jnp.where(lens > 0, lens, 1.0),
+                         norm)
+        return out, norm
+
+    return jax.jit(run)
 
 
 def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
@@ -269,6 +309,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             # small structures, e.g. a subunit at the 2048-lane default).
             _frames_put(frame_key, (_rung(max_a, min(512, full_k), full_k),
                                     _rung(max_l, 512, full_l)))
+    keeps = []
     for p, (host, _c) in zip(pending, pulled):
         (ok, lane_anchor, lane_main, lane_sec, coords_i, rfin, all_subvox,
          all_mains, all_secs, order_a_h) = host
@@ -282,8 +323,8 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         mains = all_mains[lane_anchor[keep], lane_main[keep]]
         secs = all_secs[
             lane_anchor[keep], lane_main[keep], lane_sec[keep]]
+        keeps.append((p["desc"], keep))
         rows.append(dict(
-            desc=p["desc"][jnp.asarray(keep)],      # stays on device
             coords=coords_i[keep].astype(np.float32),
             map_coords=coords_i[keep] * p["voxsp"] + p["origin"],
             subv_coords=subvox.astype(np.float64) * p["voxsp"] + p["origin"],
@@ -294,7 +335,8 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             sec_bin=secs.astype(np.int32),
         ))
 
-    if not rows:
+    total = sum(len(k) for _d, k in keeps)
+    if not rows or total == 0:
         z = np.zeros
         d = cfg.describe.subregions * cfg.describe.subeqsp_size
         return DescriptorSet(
@@ -306,13 +348,24 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             eqsp_size=cfg.orient.eqsp_size,
             subeqsp_size=cfg.describe.subeqsp_size, name=name or grid.name)
 
-    desc = jnp.concatenate([r.pop("desc") for r in rows])   # device int16
     cat = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
-    norm = desc.astype(jnp.float32)
-    lens = jnp.linalg.norm(norm, axis=1, keepdims=True)
-    norm = jnp.where(lens > 0, norm / jnp.where(lens > 0, lens, 1.0), norm)
+    # Fused gather + concat + normalize at a 128-bucketed row frame: the
+    # device descriptor table keeps a shape-stable program inventory (the
+    # real row count travels as DescriptorSet.n_rows).
+    kb = bucket(max(total, 128), 128)
+    n_oct = len(keeps)
+    idx = np.zeros((n_oct, kb), np.int32)
+    msk = np.zeros((n_oct, kb), bool)
+    at = 0
+    for o, (_d, keep) in enumerate(keeps):
+        idx[o, at:at + len(keep)] = keep
+        msk[o, at:at + len(keep)] = True
+        at += len(keep)
+    lane_caps = tuple(int(d.shape[0]) for d, _k in keeps)
+    desc, norm = _compiled_gather_norm(lane_caps, kb)(
+        *[d for d, _k in keeps], idx, msk)
     return DescriptorSet(
-        desc=desc, desc_norm=norm,
+        desc=desc, desc_norm=norm, n_rows=total,
         eqsp_size=cfg.orient.eqsp_size,
         subeqsp_size=cfg.describe.subeqsp_size,
         name=name or grid.name, **cat)

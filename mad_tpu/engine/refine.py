@@ -216,57 +216,77 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
                                 cfg.batch_size,
                                 getattr(cfg, "field_dtype", "float32"), mesh)
 
-    y0_d = jnp.asarray(y0)
-    map_d = dmap.device()
-    if mesh is not None:
-        ax = mesh_axis(mesh)
-        y0_d = jax.device_put(y0_d, NamedSharding(mesh, P(ax, None, None)))
-        map_d = jax.device_put(map_d, NamedSharding(mesh, P()))
-    valid_d = jnp.asarray(atom_valid)
-    origin_d = jnp.asarray(dmap.origin, dtype=jnp.float32)
-    voxsp = np.float32(dmap.voxsp)
+    # The driver stays free of eager device ops: every jnp indexing /
+    # zeros / .at[].set() here would dispatch its own one-off program, and
+    # on remote-compile backends each such program pays a deferred compile
+    # at first execution (measured: the segment-2 gather/merge ops alone
+    # cost ~25 s of first-pass compile). Arguments are plain numpy (the
+    # executable transfers them, ~1-3 MB), segment state is pulled ONCE,
+    # and all slicing/merging happens on host — bitwise identical, since
+    # f32 device->host->device round trips are lossless.
+    from ..utils.profiling import stage
+    with stage("refine.h2d"):
+        map_d = dmap.device()
+        y0_d = y0
+        if mesh is not None:
+            ax = mesh_axis(mesh)
+            y0_d = jax.device_put(jnp.asarray(y0),
+                                  NamedSharding(mesh, P(ax, None, None)))
+            map_d = jax.device_put(map_d, NamedSharding(mesh, P()))
+        origin_h = np.asarray(dmap.origin, dtype=np.float32)
+        voxsp = np.float32(dmap.voxsp)
 
     def init_state(yy, cc):
-        return (jnp.zeros((cc, 3), jnp.float32),
-                jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (cc, 3, 3)),
-                jnp.full((cc,), cfg.max_step, jnp.float32), yy,
-                jnp.zeros((cc,), dtype=bool), jnp.zeros((cc,), dtype=bool),
-                jnp.zeros((cc,), jnp.int32))
+        return (np.zeros((cc, 3), np.float32),
+                np.broadcast_to(np.eye(3, dtype=np.float32),
+                                (cc, 3, 3)).copy(),
+                np.full((cc,), cfg.max_step, np.float32), yy,
+                np.zeros((cc,), dtype=bool), np.zeros((cc,), dtype=bool),
+                np.zeros((cc,), np.int32))
 
     seg = int(getattr(cfg, "segment_steps", 128))
     segmented = (mesh is None and seg > 0 and cfg.n_steps > 2 * seg
                  and c_real >= 16)
     stop1 = seg if segmented else cfg.n_steps
-    out = program(c)(map_d, y0_d, valid_d, origin_d, voxsp,
-                     *init_state(y0_d, c), jnp.int32(0), jnp.int32(stop1))
-    rot, trans, coords, frozen, steps, failed, ssize, prev = out
+    with stage("refine.seg1"):
+        out = program(c)(map_d, y0_d, atom_valid, origin_h, voxsp,
+                         *init_state(y0_d, c), np.int32(0), np.int32(stop1))
 
     if segmented:
-        frozen_h = np.asarray(frozen)                # small sync
-        active = np.nonzero(~frozen_h[:c_real])[0]
+        with stage("refine.sync1"):
+            # one pull of the full segment state (~3 MB): host-side
+            # compaction replaces per-array device gathers (copies:
+            # device_get may return read-only views and the merge below
+            # writes in place)
+            (rot, trans, coords, frozen, steps, failed, ssize,
+             prev) = [np.array(a) for a in jax.device_get(out)]
+        active = np.nonzero(~frozen[:c_real])[0]
         if len(active):
             c2 = min(_pow2_bucket(len(active)), c)
-            idx = np.full(c2, active[0], np.int64)
-            idx[:len(active)] = active
-            ix = jnp.asarray(idx)
-            out2 = program(c2)(
-                map_d, y0_d[ix], valid_d, origin_d, voxsp, trans[ix],
-                rot[ix], ssize[ix], prev[ix], frozen[ix], failed[ix],
-                steps[ix], jnp.int32(seg), jnp.int32(cfg.n_steps))
-            rot2, trans2, coords2, frozen2, steps2, failed2, _, _ = out2
+            ix = np.full(c2, active[0], np.int64)
+            ix[:len(active)] = active
+            with stage("refine.seg2"):
+                out2 = program(c2)(
+                    map_d, y0[ix], atom_valid, origin_h, voxsp, trans[ix],
+                    rot[ix], ssize[ix], prev[ix], frozen[ix], failed[ix],
+                    steps[ix], np.int32(seg), np.int32(cfg.n_steps))
+            with stage("refine.pull"):
+                (rot2, trans2, coords2, frozen2, steps2, failed2, _,
+                 _) = jax.device_get(out2)
             k = len(active)
             ia = ix[:k]
-            rot = rot.at[ia].set(rot2[:k])
-            trans = trans.at[ia].set(trans2[:k])
-            coords = coords.at[ia].set(coords2[:k])
-            frozen = frozen.at[ia].set(frozen2[:k])
-            steps = steps.at[ia].set(steps2[:k])
-            failed = failed.at[ia].set(failed2[:k])
-
-    # One consolidated pull: every np.asarray would be its own ~100 ms
-    # round trip through the tunneled host relay.
-    rot, trans, coords, frozen, steps, failed = jax.device_get(
-        (rot, trans, coords, frozen, steps, failed))
+            rot[ia] = rot2[:k]
+            trans[ia] = trans2[:k]
+            coords[ia] = coords2[:k]
+            frozen[ia] = frozen2[:k]
+            steps[ia] = steps2[:k]
+            failed[ia] = failed2[:k]
+    else:
+        # One consolidated pull: every np.asarray would be its own ~100 ms
+        # round trip through the tunneled host relay.
+        with stage("refine.pull"):
+            (rot, trans, coords, frozen, steps, failed, _ssize,
+             _prev) = jax.device_get(out)
     return RefineResult(
         rot=rot[:c_real],
         trans=trans[:c_real],

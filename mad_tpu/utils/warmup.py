@@ -51,6 +51,10 @@ _manifest_lock = threading.Lock()
 _manifest_mem: Optional[dict] = None
 
 _exe_cache: dict = {}      # masked key -> compiled executable (GIL-atomic)
+_exe_futures: dict = {}    # masked key -> in-flight compile Future: a first
+                           # use that would MISS waits for the replay/warm
+                           # compile of the same program instead of racing
+                           # it with a duplicate lower + service round trip
 
 
 def _manifest_path() -> str:
@@ -178,7 +182,11 @@ class _WarmProxy:
         self._platform = None
 
     def __call__(self, *a, **kw):
-        if not kw:
+        if not kw and not any(isinstance(x, jax.core.Tracer) for x in a):
+            # (tracer args — e.g. jax.eval_shape or an enclosing trace —
+            # must go through the ordinary dispatch path: a compiled
+            # executable cannot accept tracers, and the TypeError would
+            # wrongly evict it as stale)
             sig = _sig_of(a)
             if sig is not None:
                 if self._platform is None:
@@ -193,17 +201,38 @@ class _WarmProxy:
                 key = _exe_key(self._platform, self._qual, self._args,
                                self._kwargs, _masked(sig))
                 exe = _exe_cache.get(key)
+                if exe is None:
+                    fut = _exe_futures.get(key)
+                    if fut is not None:
+                        # replay/warm is already compiling this very
+                        # program: wait for it rather than re-lowering and
+                        # paying a second service round trip in parallel
+                        try:
+                            fut.result()
+                        except Exception:
+                            pass
+                        exe = _exe_cache.get(key)
                 if exe is not None and jax.config.jax_debug_nans:
                     exe = None      # sanitizer mode needs the dispatch path
                 if exe is not None:
                     try:
+                        if os.environ.get("MAD_TPU_DEBUG_WARM"):
+                            import time as _t
+                            t0 = _t.time()
+                            out = exe(*a)
+                            dt = _t.time() - t0
+                            if dt > 1.0:
+                                print(f"warm> exe call {self._qual} "
+                                      f"{dt:.1f}s", flush=True)
+                            return out
                         return exe(*a)
-                    except Exception:
+                    except Exception as e:
                         # aval/layout drift: drop the stale executable and
                         # fall through to the ordinary dispatch path
                         _exe_cache.pop(key, None)
                         if os.environ.get("MAD_TPU_DEBUG_WARM"):
-                            print(f"warm> STALE exe {self._qual}")
+                            print(f"warm> STALE exe {self._qual}: "
+                                  f"{type(e).__name__}: {e}", flush=True)
                 elif os.environ.get("MAD_TPU_DEBUG_WARM"):
                     import traceback
                     print(f"warm> exe MISS {self._qual} sig={_masked(sig)}")
@@ -311,21 +340,105 @@ def replay(max_workers: int = 8, block: bool = False):
 
     jobs.sort(key=prio)
     pool = cf.ThreadPoolExecutor(max_workers=max_workers)
+    debug = os.environ.get("MAD_TPU_DEBUG_REPLAY")
+    t_start = __import__("time").time()
 
     def compile_one(fn, abstract, ekey):
+        import time as _t
         try:
             # the compiled executable is served back to matching proxy
             # calls (first use skips the re-lower + service round trip)
-            _exe_cache[ekey] = fn.lower(*abstract).compile()
-        except Exception:
-            pass
+            t0 = _t.time()
+            low = fn.lower(*abstract)
+            t1 = _t.time()
+            exe = low.compile()
+            _exe_cache[ekey] = exe
+            t2 = _t.time()
+            # Execute once on zero dummies: on remote-compile backends
+            # ``compile()`` returns a handle and the REAL compilation is
+            # deferred to first execution (measured: compile() 0.3 s,
+            # first exec 45-170 s for the big programs). Forcing that
+            # first execution here moves every compile into this
+            # concurrent pool instead of serializing it through the
+            # pipeline's first pass.
+            _exec_warm(exe, abstract)
+            if debug:
+                qual = json.loads(ekey)[1]
+                print(f"replay> {qual} lower {t1 - t0:.1f}s compile "
+                      f"{t2 - t1:.1f}s exec {_t.time() - t2:.1f}s "
+                      f"done@{_t.time() - t_start:.1f}s", flush=True)
+        except Exception as e:
+            if debug:
+                print(f"replay> FAIL {json.loads(ekey)[1]}: "
+                      f"{type(e).__name__}: {e}", flush=True)
+        finally:
+            _exe_futures.pop(ekey, None)
 
-    futures = [pool.submit(compile_one, fn, abstract, ekey)
-               for fn, abstract, ekey in jobs]
+    futures = []
+    for fn, abstract, ekey in jobs:
+        fut = pool.submit(compile_one, fn, abstract, ekey)
+        _exe_futures.setdefault(ekey, fut)
+        futures.append(fut)
     pool.shutdown(wait=False)
     if block:
         cf.wait(futures)
+        _drop_dummies()
+    else:
+        threading.Thread(target=lambda: (cf.wait(futures), _drop_dummies()),
+                         daemon=True).start()
     return futures
+
+
+_dummy_lock = threading.Lock()
+_dummy_pool: dict = {}     # (shape, dtype) -> device zeros, shared across
+                           # warm executions (freed by _drop_dummies)
+
+
+def _dummy_args(abstract):
+    """Zero-filled device arguments matching an abstract signature."""
+    out = []
+    for a in abstract:
+        if isinstance(a, jax.ShapeDtypeStruct):
+            key = (tuple(a.shape), str(a.dtype))
+            with _dummy_lock:
+                buf = _dummy_pool.get(key)
+            if buf is None:
+                buf = jnp.zeros(a.shape, a.dtype)
+                with _dummy_lock:
+                    buf = _dummy_pool.setdefault(key, buf)
+            out.append(buf)
+        else:
+            out.append(a)
+    return out
+
+
+def _drop_dummies() -> None:
+    with _dummy_lock:
+        _dummy_pool.clear()
+
+
+def _exec_warm(exe, abstract) -> None:
+    """Run a compiled executable once on dummy inputs and block until the
+    execution has really finished — which is when remote-compile backends
+    perform the actual (deferred) compilation. The ONLY reliable sync on
+    the relayed backend is a host pull (``block_until_ready`` returns
+    early and ``is_ready`` lies for pending work — both measured), so pull
+    the smallest output leaf; when every output is large, pull a scalar
+    element instead (the tiny gather program it dispatches is compiled
+    once per shape and shared in-process)."""
+    try:
+        out = exe(*_dummy_args(abstract))
+        leaves = [x for x in jax.tree_util.tree_leaves(out)
+                  if hasattr(x, "nbytes")]
+        if not leaves:
+            return
+        smallest = min(leaves, key=lambda x: x.nbytes)
+        if smallest.nbytes <= (1 << 20):
+            jax.device_get(smallest)
+        else:
+            jax.device_get(smallest[(0,) * smallest.ndim])
+    except Exception:
+        pass
 
 
 def _octave_params(grid_shape: Tuple[int, int, int], cfg: MadConfig):
@@ -460,15 +573,28 @@ def warm_pipeline(grid_shapes: Iterable[Tuple[int, int, int]],
     pool = cf.ThreadPoolExecutor(max_workers=max_workers)
 
     def compile_one(fn, abstract, ekey):
-        exe = fn.lower(*abstract).compile()
-        if ekey is not None:
-            _exe_cache[ekey] = exe
-        return exe
+        try:
+            exe = fn.lower(*abstract).compile()
+            if ekey is not None:
+                _exe_cache[ekey] = exe
+            _exec_warm(exe, abstract)   # force the deferred backend compile
+            return exe
+        finally:
+            if ekey is not None:
+                _exe_futures.pop(ekey, None)
 
-    futures = [pool.submit(compile_one, fn, abstract, ekey)
-               for fn, abstract, ekey in jobs]
+    futures = []
+    for fn, abstract, ekey in jobs:
+        fut = pool.submit(compile_one, fn, abstract, ekey)
+        if ekey is not None:
+            _exe_futures.setdefault(ekey, fut)
+        futures.append(fut)
     pool.shutdown(wait=False)
     if block:
         for f in futures:
             f.result()
+        _drop_dummies()
+    elif futures:
+        threading.Thread(target=lambda: (cf.wait(futures), _drop_dummies()),
+                         daemon=True).start()
     return futures
