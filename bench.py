@@ -20,12 +20,17 @@ def build_system(n_copies=10, n_res=260, voxsp=1.4, resolution=10.0,
     from mad_tpu.testing import make_assembly
     from mad_tpu.ops.simulate import simulate_density
 
+    t0 = time.time()
     sub, copies = make_assembly(n_copies=n_copies, n_res=n_res, seed=seed,
                                 spread=spread, shell=True)
     coords = np.concatenate([c.coords for c in copies])
     masses = np.concatenate([c.masses for c in copies])
-    dmap = simulate_density(coords, resolution, voxsp,
-                            masses=masses).reduce_void()
+    t1 = time.time()
+    dens = simulate_density(coords, resolution, voxsp, masses=masses)
+    t2 = time.time()
+    dmap = dens.reduce_void()
+    sys.stderr.write(f"bench> build: assembly {t1 - t0:.1f}s simulate "
+                     f"{t2 - t1:.1f}s reduce_void {time.time() - t2:.1f}s\n")
     return sub, copies, dmap
 
 

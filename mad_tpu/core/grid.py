@@ -20,6 +20,43 @@ from .mrc_io import read_mrc as _read_mrc_file
 from .mrc_io import write_mrc as _write_mrc_file
 
 
+def _warm_deco(factory):
+    """lru_cache + warmable, imported lazily (grid loads before jax in
+    some host-only tools)."""
+    import functools
+    from ..utils.warmup import warmable
+    return functools.lru_cache(maxsize=8)(warmable(factory))
+
+
+@_warm_deco
+def _compiled_axis_any(shape):
+    """Per-axis occupancy masks in ONE program / one host pull."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(d):
+        occ = d != 0
+        return (jnp.any(occ, (1, 2)), jnp.any(occ, (0, 2)),
+                jnp.any(occ, (0, 1)))
+
+    return jax.jit(run)
+
+
+@_warm_deco
+def _compiled_crop_pad(in_shape, out_shape, pad):
+    """Dynamic-offset crop to a static shape + zero re-pad, fused."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    crop = tuple(s - 2 * pad for s in out_shape)
+
+    def run(d, lo):
+        c = lax.dynamic_slice(d, (lo[0], lo[1], lo[2]), crop)
+        return jnp.pad(c, pad, mode="constant")
+
+    return jax.jit(run)
+
+
 @dataclass
 class DensityGrid:
     """data[x, y, z] float32 (numpy or device array), origin in Angstroms,
@@ -84,20 +121,38 @@ class DensityGrid:
 
     def reduce_void(self, zeros_padding: int = 10) -> "DensityGrid":
         """Crop to the nonzero bounding box then re-pad
-        (parity: mad/Dmap.py:73-90). Only three small per-axis masks cross
-        the host boundary."""
-        import jax.numpy as jnp
+        (parity: mad/Dmap.py:73-90). Host grids crop in numpy; device
+        grids use two warmable programs (one consolidated mask pull + one
+        fused dynamic crop/re-pad), so nothing here dispatches a one-off
+        eager program."""
+        if isinstance(self.data, np.ndarray):
+            d = self.data
+            occ = d != 0
+            axes_any = [occ.any(axis=ax) for ax in ((1, 2), (0, 2), (0, 1))]
+            if not axes_any[0].any():
+                return self
+            lo = np.array([int(np.argmax(a)) for a in axes_any])
+            hi = np.array([len(a) - int(np.argmax(a[::-1]))
+                           for a in axes_any])
+            p = zeros_padding
+            data = np.pad(d[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]], p,
+                          mode="constant")
+            return replace(self, data=data,
+                           origin=self.origin + (lo - p) * self.voxsp)
+        import jax
         d = self.device()
-        occ = d != 0
-        axes_any = [np.asarray(jnp.any(occ, axis=ax))
-                    for ax in ((1, 2), (0, 2), (0, 1))]
+        axes_any = [np.asarray(a) for a in
+                    jax.device_get(_compiled_axis_any(tuple(d.shape))(d))]
         if not axes_any[0].any():
             return self
         lo = np.array([int(np.argmax(a)) for a in axes_any])
         hi = np.array([len(a) - int(np.argmax(a[::-1])) for a in axes_any])
-        data = d[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
-        g = replace(self, data=data, origin=self.origin + lo * self.voxsp)
-        return g.padded(zeros_padding)
+        p = zeros_padding
+        out_shape = tuple(int(h - l) + 2 * p for l, h in zip(lo, hi))
+        data = _compiled_crop_pad(tuple(d.shape), out_shape, p)(
+            d, lo.astype(np.int32))
+        return replace(self, data=data,
+                       origin=self.origin + (lo - p) * self.voxsp)
 
     def mask_with(self, mask: "DensityGrid", eps: float = 1e-8
                   ) -> "DensityGrid":

@@ -328,8 +328,8 @@ def replay(max_workers: int = 8, block: bool = False):
         return []
     # compile in pipeline order so the stage that runs first has its
     # executables ready first (replay races the actual run)
-    order = ["simulate", "scalespace", "detect", "orient", "describe",
-             "match", "refine", "score", "assemble"]
+    order = ["simulate", "grid", "scalespace", "detect", "orient",
+             "describe", "match", "refine", "score", "assemble"]
 
     def prio(job):
         q = job[2]
@@ -349,7 +349,7 @@ def replay(max_workers: int = 8, block: bool = False):
             # the compiled executable is served back to matching proxy
             # calls (first use skips the re-lower + service round trip)
             t0 = _t.time()
-            low = fn.lower(*abstract)
+            low = _lower_cached(fn, abstract, ekey)
             t1 = _t.time()
             exe = low.compile()
             _exe_cache[ekey] = exe
@@ -387,6 +387,54 @@ def replay(max_workers: int = 8, block: bool = False):
         threading.Thread(target=lambda: (cf.wait(futures), _drop_dummies()),
                          daemon=True).start()
     return futures
+
+
+def _blob_dir() -> str:
+    base = os.environ.get("MAD_TPU_CACHE",
+                          os.path.expanduser("~/.cache/mad_tpu_xla"))
+    return os.path.join(base, "hlo")
+
+
+def _blob_path(ekey: str) -> str:
+    import hashlib
+    import jax as _jax
+    h = hashlib.sha1((_jax.__version__ + ekey).encode()).hexdigest()
+    return os.path.join(_blob_dir(), h + ".bin")
+
+
+def _lower_cached(fn, abstract, ekey):
+    """Lowered program for (fn, abstract), via the serialized-StableHLO
+    cache when possible. Tracing a big program costs 0.5-7 s of PURE
+    Python (GIL-bound — replay threads starve the main thread with it);
+    deserializing the exported StableHLO and lowering its call wrapper is
+    ~0.3 s of mostly C++. The blob is written on the first (tracing)
+    pass, keyed by the executable-reuse key + jax version."""
+    path = _blob_path(ekey)
+    try:
+        with open(path, "rb") as f:
+            exported = jax.export.deserialize(bytearray(f.read()))
+        return jax.jit(exported.call).lower(*abstract)
+    except (OSError, ValueError):
+        pass
+    except Exception:
+        try:                       # stale/incompatible blob: drop it
+            os.unlink(path)
+        except OSError:
+            pass
+    exported = None
+    try:
+        exported = jax.export.export(fn)(*abstract)
+        blob = exported.serialize()
+        os.makedirs(_blob_dir(), exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+    except Exception:
+        exported = None
+    if exported is not None:
+        return jax.jit(exported.call).lower(*abstract)
+    return fn.lower(*abstract)
 
 
 _dummy_lock = threading.Lock()
@@ -574,7 +622,9 @@ def warm_pipeline(grid_shapes: Iterable[Tuple[int, int, int]],
 
     def compile_one(fn, abstract, ekey):
         try:
-            exe = fn.lower(*abstract).compile()
+            low = (_lower_cached(fn, abstract, ekey) if ekey is not None
+                   else fn.lower(*abstract))
+            exe = low.compile()
             if ekey is not None:
                 _exe_cache[ekey] = exe
             _exec_warm(exe, abstract)   # force the deferred backend compile
