@@ -91,13 +91,16 @@ def main():
     # bench exercises the full capability surface.
     cfg = cfg.replace(filter=dataclasses.replace(cfg.filter,
                                                  rescue_rounds=1))
-    # Replay the recorded program manifest concurrently from t=0: recurring
-    # (even data-dependent) shapes compile / load from the persistent cache
-    # on a thread pool while the system builds.
+    # Staged warm: the map-build chain (simulate + grid crop) compiles
+    # ALONE first — the remote compile service serializes under load, so
+    # the programs the main thread needs first must not queue behind the
+    # thirty-odd describe/dock compiles. The full replay starts right
+    # after the build dispatches.
     from mad_tpu.utils.warmup import replay
-    replay(block=False)
+    replay(block=False, only=("simulate", "grid"))
     t0 = time.time()
     sub, copies, dmap = build_system()
+    replay(block=False)
     sys.stderr.write(f"bench> map {dmap.shape} built in "
                      f"{time.time() - t0:.1f}s\n")
 

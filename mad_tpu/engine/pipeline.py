@@ -85,10 +85,14 @@ def _frames_put(key: str, caps) -> None:
 
 
 def _rung(n: int, lo: int, hi: int) -> int:
-    """Smallest power-of-2 multiple of ``lo`` that holds n, clamped to hi."""
-    p = lo
-    while p < n and p < hi:
-        p *= 2
+    """Frame rung holding n with ~25 % headroom at 512 granularity,
+    clamped to [lo, hi]. Finer than power-of-2 ladders: a measured 2350
+    lanes runs at 3072, not 4096 — the orientation/descriptor work scales
+    linearly with the frame, and the headroom absorbs run-to-run count
+    jitter without an overflow redo."""
+    if n <= lo:
+        return lo
+    p = -(-int(n * 1.25) // 512) * 512
     return min(max(p, lo), hi)
 
 

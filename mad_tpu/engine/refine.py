@@ -185,6 +185,22 @@ def _pow2_bucket(k: int, lo: int = 4) -> int:
     return b
 
 
+@functools.lru_cache(maxsize=16)
+@warmable
+def _compiled_refine_compact(c: int, c2: int, n: int):
+    """Gather the surviving candidates' segment state into a smaller batch
+    in ONE device program (keyed by the (c, c2) bucket pair, so the warm
+    manifest replays it). Replaces host-side compaction, which pulled the
+    full (c, n, 3) coordinate/checkpoint state (~3 MB) and re-uploaded the
+    compacted slices every pass."""
+
+    def compact(ix, y0, trans, rot, ssize, prev, frozen, failed, steps):
+        return (y0[ix], trans[ix], rot[ix], ssize[ix], prev[ix],
+                frozen[ix], failed[ix], steps[ix])
+
+    return jax.jit(compact)
+
+
 def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
                       cfg: RefineConfig, mesh: "Mesh" = None) -> RefineResult:
     """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms.
@@ -225,9 +241,14 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
     # and all slicing/merging happens on host — bitwise identical, since
     # f32 device->host->device round trips are lossless.
     from ..utils.profiling import stage
+    seg = int(getattr(cfg, "segment_steps", 128))
+    segmented = (mesh is None and seg > 0 and cfg.n_steps > 2 * seg
+                 and c_real >= 16)
     with stage("refine.h2d"):
         map_d = dmap.device()
-        y0_d = y0
+        # Segmented runs keep y0 on device: the inter-segment compaction
+        # gathers from it without a host round trip.
+        y0_d = jnp.asarray(y0) if segmented else y0
         if mesh is not None:
             ax = mesh_axis(mesh)
             y0_d = jax.device_put(jnp.asarray(y0),
@@ -244,35 +265,40 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
                 np.zeros((cc,), dtype=bool), np.zeros((cc,), dtype=bool),
                 np.zeros((cc,), np.int32))
 
-    seg = int(getattr(cfg, "segment_steps", 128))
-    segmented = (mesh is None and seg > 0 and cfg.n_steps > 2 * seg
-                 and c_real >= 16)
     stop1 = seg if segmented else cfg.n_steps
     with stage("refine.seg1"):
         out = program(c)(map_d, y0_d, atom_valid, origin_h, voxsp,
                          *init_state(y0_d, c), np.int32(0), np.int32(stop1))
 
     if segmented:
+        (rot_d, trans_d, coords_d, frozen_d, steps_d, failed_d, ssize_d,
+         prev_d) = out
         with stage("refine.sync1"):
-            # one pull of the full segment state (~3 MB): host-side
-            # compaction replaces per-array device gathers (copies:
-            # device_get may return read-only views and the merge below
-            # writes in place)
-            (rot, trans, coords, frozen, steps, failed, ssize,
-             prev) = [np.array(a) for a in jax.device_get(out)]
+            frozen = np.array(jax.device_get(frozen_d))   # tiny sync
         active = np.nonzero(~frozen[:c_real])[0]
+        out2 = None
         if len(active):
             c2 = min(_pow2_bucket(len(active)), c)
             ix = np.full(c2, active[0], np.int64)
             ix[:len(active)] = active
             with stage("refine.seg2"):
+                (y0c, transc, rotc, ssizec, prevc, frozenc, failedc,
+                 stepsc) = _compiled_refine_compact(c, c2, n)(
+                    ix.astype(np.int32), y0_d, trans_d, rot_d, ssize_d,
+                    prev_d, frozen_d, failed_d, steps_d)
                 out2 = program(c2)(
-                    map_d, y0[ix], atom_valid, origin_h, voxsp, trans[ix],
-                    rot[ix], ssize[ix], prev[ix], frozen[ix], failed[ix],
-                    steps[ix], np.int32(seg), np.int32(cfg.n_steps))
-            with stage("refine.pull"):
-                (rot2, trans2, coords2, frozen2, steps2, failed2, _,
-                 _) = jax.device_get(out2)
+                    map_d, y0c, atom_valid, origin_h, voxsp, transc, rotc,
+                    ssizec, prevc, frozenc, failedc, stepsc,
+                    np.int32(seg), np.int32(cfg.n_steps))
+        # One consolidated pull of both segments' results.
+        with stage("refine.pull"):
+            pulled = jax.device_get(
+                ((rot_d, trans_d, coords_d, steps_d, failed_d), out2))
+        (rot, trans, coords, steps, failed) = [np.array(a)
+                                               for a in pulled[0]]
+        if out2 is not None:
+            (rot2, trans2, coords2, frozen2, steps2, failed2, _,
+             _) = pulled[1]
             k = len(active)
             ia = ix[:k]
             rot[ia] = rot2[:k]

@@ -278,11 +278,17 @@ def warmable(factory):
     return wrapper
 
 
-def replay(max_workers: int = 8, block: bool = False):
+def replay(max_workers: int = 8, block: bool = False, only=None):
     """AOT-compile every manifest entry recorded for the current backend on
     a thread pool. Stale entries (changed factory signatures) are dropped.
     Returns the futures; with block=True waits and ignores failures.
-    Disabled by MAD_TPU_NO_WARM=1 (diagnostics / constrained hosts)."""
+    Disabled by MAD_TPU_NO_WARM=1 (diagnostics / constrained hosts).
+
+    only: optional substrings — replay just the programs whose qualified
+    name matches one (stage the warm: the map-build chain first, alone,
+    then everything else; the remote compile service serializes heavily
+    under concurrent load, so whatever the main thread needs FIRST should
+    not queue behind 30 dummy compiles)."""
     import importlib
 
     if os.environ.get("MAD_TPU_NO_WARM", "") not in ("", "0"):
@@ -301,10 +307,12 @@ def replay(max_workers: int = 8, block: bool = False):
             plat, qual, fargs, fkwargs, sig = json.loads(key)
             if plat != platform:
                 continue
+            if only is not None and not any(s in qual for s in only):
+                continue
             ekey = _exe_key(plat, qual, _tuplify(fargs),
                             {k: _tuplify(v) for k, v in fkwargs.items()},
                             _masked(sig))
-            if ekey in seen or ekey in _exe_cache:
+            if ekey in seen or ekey in _exe_cache or ekey in _exe_futures:
                 continue
             seen.add(ekey)
             mod_name, fn_name = qual.split(":")
