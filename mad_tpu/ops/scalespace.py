@@ -164,11 +164,15 @@ def _compiled_log_detect(shape: Tuple[int, int, int], sig_init: float,
 @warmable
 def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
                    sig_presmooth: float, up: bool, truncate: float,
-                   dtype: str = "float32", mesh=None):
+                   dtype: str = "float32", mesh=None, donate: bool = False):
     """Gradient-of-Gaussian field. dtype='bfloat16' halves memory on very
     large octaves (gradients only feed direction binning; bf16 directions
     shift a negligible fraction of zone assignments). mesh: as for
-    _compiled_log — output stays sharded, odd upsampled dim 0 padded."""
+    _compiled_log — output stays sharded, odd upsampled dim 0 padded.
+    donate: the input volume is donated to XLA (the FINAL octave's
+    gradient is the last consumer of the shared padded volume, so its
+    ~V*4 bytes are reusable for the build temporaries — the scale-space
+    HBM peak, SURVEY §5 donation audit)."""
     out_dtype = jnp.dtype(dtype)
 
     def build(vol):
@@ -191,7 +195,7 @@ def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
         return out
 
     if mesh is None:
-        return jax.jit(build)
+        return jax.jit(build, donate_argnums=(0,) if donate else ())
     return jax.jit(build, out_shardings=_mesh_out(mesh, 4))
 
 
@@ -201,11 +205,14 @@ class LazyOctave:
     descriptors with only the gradient — halving peak memory on big maps
     (the upsampled octave of a 350^3 map is ~690^3)."""
 
-    def __init__(self, data, dims, voxsp, real_shape, up, cfg, mesh=None):
+    def __init__(self, data, dims, voxsp, real_shape, up, cfg, mesh=None,
+                 final=False):
         self._data = data
         self._args = (dims, float(cfg.detect_sigma),
                       float(cfg.presmooth_sigma), up, float(cfg.truncate))
         self._mesh = mesh
+        self._final = final     # last octave sharing the padded volume:
+                                # its gradient program donates the input
         self.voxsp = voxsp
         self.real_shape = real_shape
 
@@ -240,6 +247,15 @@ class LazyOctave:
                  if n_vox > self.BF16_VOXELS * mesh_size(self._mesh)
                  else "float32")
         if self._mesh is None:
+            dims_vox = 1
+            for s in self._args[0]:
+                dims_vox *= s
+            if self._final and dims_vox > 8_000_000:
+                # Donation pays only at HBM-relevant sizes; small volumes
+                # keep one program variant (and XLA:CPU cannot alias the
+                # tiny test shapes anyway — donation would just warn).
+                return _compiled_grad(*self._args, dtype=dtype,
+                                      donate=True)(self._data)
             return _compiled_grad(*self._args, dtype=dtype)(self._data)
         return _compiled_grad(*self._args, dtype=dtype, mesh=self._mesh)(
             self._data)
@@ -250,13 +266,18 @@ def iter_lazy_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,
     """Yield (origin, LazyOctave) per octave. With a mesh, the volume is
     spatially sharded for the filter programs (GSPMD)."""
     data, origin, real, dims = _prepare(grid, cfg, shape_bucket, mesh)
+    # The last octave's gradient program may donate the shared padded
+    # volume — but never the grid's own cached device buffer (zero
+    # padding + already-bucketed shapes make _prepare a passthrough).
+    own_buffer = data is not grid.__dict__.get("_device_data")
+    last_up = cfg.oct_mode == "up"
     if cfg.oct_mode in ("up", "both"):
         yield origin, LazyOctave(data, dims, grid.voxsp / 2.0,
                                  tuple(2 * s - 1 for s in real), True, cfg,
-                                 mesh)
+                                 mesh, final=last_up and own_buffer)
     if cfg.oct_mode in ("base", "both"):
         yield origin, LazyOctave(data, dims, grid.voxsp, real, False, cfg,
-                                 mesh)
+                                 mesh, final=own_buffer)
 
 
 def iter_octaves(grid: DensityGrid, cfg: ScaleSpaceConfig,

@@ -450,18 +450,26 @@ _dummy_pool: dict = {}     # (shape, dtype) -> device zeros, shared across
                            # warm executions (freed by _drop_dummies)
 
 
-def _dummy_args(abstract):
-    """Zero-filled device arguments matching an abstract signature."""
+def _dummy_args(abstract, fresh: bool = False):
+    """Zero-filled device arguments matching an abstract signature.
+
+    fresh=True bypasses (and refreshes) the shared pool — needed after a
+    donating program consumed a pooled buffer (donation deletes it)."""
     out = []
     for a in abstract:
         if isinstance(a, jax.ShapeDtypeStruct):
             key = (tuple(a.shape), str(a.dtype))
-            with _dummy_lock:
-                buf = _dummy_pool.get(key)
+            buf = None
+            if not fresh:
+                with _dummy_lock:
+                    buf = _dummy_pool.get(key)
+                if buf is not None and getattr(buf, "is_deleted",
+                                               lambda: False)():
+                    buf = None
             if buf is None:
                 buf = jnp.zeros(a.shape, a.dtype)
                 with _dummy_lock:
-                    buf = _dummy_pool.setdefault(key, buf)
+                    _dummy_pool[key] = buf
             out.append(buf)
         else:
             out.append(a)
@@ -483,7 +491,11 @@ def _exec_warm(exe, abstract) -> None:
     element instead (the tiny gather program it dispatches is compiled
     once per shape and shared in-process)."""
     try:
-        out = exe(*_dummy_args(abstract))
+        try:
+            out = exe(*_dummy_args(abstract))
+        except Exception:
+            # a donating program may have consumed a pooled buffer
+            out = exe(*_dummy_args(abstract, fresh=True))
         leaves = [x for x in jax.tree_util.tree_leaves(out)
                   if hasattr(x, "nbytes")]
         if not leaves:

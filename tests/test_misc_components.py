@@ -256,3 +256,19 @@ def test_nan_check_mode():
         set_nan_checks(False)
     # disabled again: NaN propagates silently (default pipeline behavior)
     assert np.isnan(np.asarray(bad(jnp.float32(0.5))))
+
+
+def test_hbm_audit_mode(monkeypatch):
+    """MAD_TPU_HBM=1 samples per-stage device allocation high-water marks
+    (SURVEY §5 donation/memory audit); CPU backends without memory_stats
+    degrade to zero samples without crashing."""
+    import importlib
+    from mad_tpu.utils import profiling
+    monkeypatch.setenv("MAD_TPU_HBM", "1")
+    with profiling.stage("hbm_test_stage"):
+        pass
+    peaks = profiling.hbm_peaks()
+    assert isinstance(peaks, dict)
+    b = profiling.device_bytes_in_use()
+    assert isinstance(b, int) and b >= 0
+    profiling.show_timing(reset=True)
