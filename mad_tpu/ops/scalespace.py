@@ -65,13 +65,36 @@ def _compiled_build(shape: Tuple[int, int, int], sig_init: float,
     return jax.jit(build)
 
 
+@functools.lru_cache(maxsize=32)
+@warmable
+def _compiled_prepare_pad(in_shape: Tuple[int, int, int], pad: int,
+                          dims: Tuple[int, int, int]):
+    """Symmetric map padding + bucket padding fused into one warmable
+    program (the two eager jnp.pad calls each compiled a one-off program
+    per shape per process)."""
+
+    def run(d):
+        return jnp.pad(d, [(pad, pad + dims[a] - in_shape[a] - 2 * pad)
+                           for a in range(3)], mode="constant")
+
+    return jax.jit(run)
+
+
 def _prepare(grid: DensityGrid, cfg: ScaleSpaceConfig, shape_bucket: int,
              mesh=None):
     data = grid.device()
     origin = grid.origin.copy()
-    if cfg.map_padding:
-        data = jnp.pad(data, cfg.map_padding, mode="constant")
-        origin = origin - cfg.map_padding * grid.voxsp
+    pad = int(cfg.map_padding)
+    in_shape = tuple(data.shape)
+    if pad and mesh is None:
+        origin = origin - pad * grid.voxsp
+        real = tuple(s + 2 * pad for s in in_shape)
+        dims = tuple(bucket(s, shape_bucket) for s in real)
+        data = _compiled_prepare_pad(in_shape, pad, dims)(data)
+        return data, origin, real, dims
+    if pad:
+        data = jnp.pad(data, pad, mode="constant")
+        origin = origin - pad * grid.voxsp
     real = tuple(data.shape)
     dims = tuple(bucket(s, shape_bucket) for s in real)
     if mesh is not None:

@@ -416,7 +416,17 @@ def _lower_cached(fn, abstract, ekey):
     Python (GIL-bound — replay threads starve the main thread with it);
     deserializing the exported StableHLO and lowering its call wrapper is
     ~0.3 s of mostly C++. The blob is written on the first (tracing)
-    pass, keyed by the executable-reuse key + jax version."""
+    pass, keyed by the executable-reuse key + jax version.
+
+    DISABLED BY DEFAULT (MAD_TPU_HLO_BLOBS=1 to enable): the wrapped
+    ``exported.call`` programs MISS the compile service's server-side
+    cache even with byte-identical blobs — measured 385 s first
+    execution in a fresh process for a program whose unwrapped variant
+    runs in 0.9 s — so the ~0.5-7 s/program tracing saved here cost
+    100-400 s of recompiles per process. Direct lowering keeps the
+    server cache keyed on the stable unwrapped HLO."""
+    if os.environ.get("MAD_TPU_HLO_BLOBS", "") in ("", "0"):
+        return fn.lower(*abstract)
     path = _blob_path(ekey)
     try:
         with open(path, "rb") as f:
@@ -454,10 +464,22 @@ def _dummy_args(abstract, fresh: bool = False):
     """Zero-filled device arguments matching an abstract signature.
 
     fresh=True bypasses (and refreshes) the shared pool — needed after a
-    donating program consumed a pooled buffer (donation deletes it)."""
+    donating program consumed a pooled buffer (donation deletes it).
+
+    Small arguments (<=1 MB) are HOST numpy zeros: the executable
+    transfers them without dispatching a device fill, so the warm does
+    not compile a broadcast program per distinct small shape (measured:
+    84 tiny fill compiles per cold process otherwise)."""
+    import numpy as _np
     out = []
     for a in abstract:
         if isinstance(a, jax.ShapeDtypeStruct):
+            nbytes = int(_np.dtype(a.dtype).itemsize)
+            for s in a.shape:
+                nbytes *= int(s)
+            if nbytes <= (1 << 20):
+                out.append(_np.zeros(a.shape, a.dtype))
+                continue
             key = (tuple(a.shape), str(a.dtype))
             buf = None
             if not fresh:
