@@ -101,3 +101,20 @@ def test_exe_fallback_on_stale_entry(isolated_manifest):
     out = np.asarray(fn(dens, offs))
     np.testing.assert_allclose(out, ref)
     assert key not in warmup._exe_cache     # dropped after the failure
+
+
+def test_replay_only_filter(isolated_manifest):
+    """replay(only=...) restricts the warm to matching program names —
+    the staged warm that keeps the map-build chain from queueing behind
+    the full inventory on serializing compile services."""
+    from mad_tpu.engine.assemble import _compiled_pack_overlap
+    _compiled_pack_overlap.cache_clear()
+    fn = _compiled_pack_overlap(8, (4, 4, 4), (8, 8), 1)
+    dens, offs = _pack_overlap_args()
+    np.asarray(fn(dens, offs))          # record
+
+    warmup._exe_cache.clear()
+    futs = warmup.replay(block=True, only=("nonexistent_stage",))
+    assert futs == [] or len(warmup._exe_cache) == 0
+    futs = warmup.replay(block=True, only=("assemble",))
+    assert len(warmup._exe_cache) == 1
