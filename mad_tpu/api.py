@@ -148,11 +148,18 @@ class MaD:
             dsc_subregions, patch_size, cc_threshold, weight_threshold,
             n_samples, base=self.config)
         # Concurrent AOT replay of the recorded program inventory (cold
-        # start is compile/cache-load-bound; see utils/warmup.py).
+        # start is compile-bound; see utils/warmup.py). STAGED: the map
+        # preprocessing chain (simulate + grid crop) warms alone first so
+        # it never queues behind the describe/dock inventory on the
+        # serializing compile service; the rest starts right after the
+        # preprocessing dispatches.
+        if self.config.warm_start:
+            from .utils.warmup import replay
+            replay(block=False, only=("simulate", "grid"))
+        self.check_preprocess_data()
         if self.config.warm_start:
             from .utils.warmup import replay
             replay(block=False)
-        self.check_preprocess_data()
         if self.out_folder is None:
             return  # inputs incomplete; check_preprocess_data printed why
         self.get_descriptors()
