@@ -136,6 +136,64 @@ class DescriptorSet:
         return np.unique(c, axis=0)
 
 
+# An octave whose REAL voxel count is at or below this holds its LoG and
+# gradient fields simultaneously (~16 bytes/voxel + filter temporaries,
+# <= ~6 GB at the limit) — the whole describe chain then runs as ONE
+# program dispatch. Larger octaves keep the streamed three-program split
+# (LoG freed before the gradient builds, bf16 gate).
+FUSE_OCTAVE_VOXELS = 250_000_000
+
+
+@_functools.lru_cache(maxsize=32)
+@_warmable
+def _compiled_octave_chain(dims: tuple, sig_init: float, sig_presmooth: float,
+                           up: bool, truncate: float, real_shape: tuple,
+                           threshold: float, exclude_border: int,
+                           max_offset: float, n_iter: int, capacity: int,
+                           spec_k: int, radius: int, eqsp_size: int,
+                           max_main: int, max_sec: int, ori_cutoff: float,
+                           gw_sig: float, subeqsp_size: int, subregions: int,
+                           dsc_cutoff: float, zero_magn: float, lane_cap: int,
+                           dsc_radius: int = 0, donate: bool = False):
+    """ONE program for a whole octave: LoG + detection + anchor compaction
+    -> gradient field -> orientation + lane compaction -> descriptors.
+
+    The split path dispatches four programs per octave; on the tunneled
+    host each dispatch costs relay latency, so the fused chain halves the
+    describe pass's wall clock for octaves whose LoG+gradient working set
+    fits HBM (FUSE_OCTAVE_VOXELS). Bodies are the SAME closures the split
+    factories jit (ops.scalespace._log_detect_body/_grad_body,
+    ops.orient._orient_bodies, ops.describe._describe_body), so results
+    are identical row for row."""
+    from ..ops.scalespace import _log_detect_body, _grad_body
+    from ..ops.orient import _orient_bodies
+    from ..ops.describe import _describe_body
+
+    ld = _log_detect_body(dims, sig_init, sig_presmooth, up, truncate,
+                          real_shape, threshold, exclude_border, max_offset,
+                          n_iter, capacity, spec_k)
+    gb = _grad_body(dims, sig_init, sig_presmooth, up, truncate, "float32")
+    grad_shape = tuple(2 * s - 1 for s in dims) if up else tuple(dims)
+    stride = 2 if up else 1
+    _, ofu = _orient_bodies(grad_shape, real_shape, stride, radius,
+                            eqsp_size, max_main, max_sec, ori_cutoff, gw_sig,
+                            128, lane_cap)
+    db = _describe_body(grad_shape, real_shape, up, dsc_radius or radius,
+                        subeqsp_size, subregions, dsc_cutoff, zero_magn, 128)
+
+    def chain(vol):
+        coords_c, valid_c, order_a, subvox, n_anch = ld(vol)
+        gradf = gb(vol)
+        (mains, secs, rfin_l, lane_ok, lane_anchor, lane_main, lane_sec,
+         coords_l, n_valid) = ofu(gradf, coords_c, valid_c)
+        descs, ok = db(gradf, coords_l, rfin_l, lane_ok)
+        return (descs, (n_anch, n_valid),
+                (ok & lane_ok, lane_anchor, lane_main, lane_sec, coords_l,
+                 rfin_l, subvox, mains, secs, order_a))
+
+    return jax.jit(chain, donate_argnums=(0,) if donate else ())
+
+
 @_functools.lru_cache(maxsize=32)
 @_warmable
 def _compiled_gather_norm(lane_caps: tuple, kb: int):
@@ -239,6 +297,45 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                 pending.append(out)
             anchor_base += anch.capacity
             del octv, anch
+            continue
+
+        n_real = 1
+        for s in octv.real_shape:
+            n_real *= int(s)
+        if n_real <= FUSE_OCTAVE_VOXELS:
+            # Whole-octave fused chain: ONE dispatch for LoG+detect+grad+
+            # orient+describe (identical bodies, identical rows; the LoG
+            # and gradient fields coexist inside the program, which the
+            # voxel gate bounds).
+            with stage("describe"):
+                dims_a, s_i, s_p, up_a, tr = octv._args
+                dsc_radius = (cfg.describe.patch_size
+                              - cfg.describe.patch_size % 2) // 2
+                dims_vox = 1
+                for s in dims_a:
+                    dims_vox *= int(s)
+                fn = _compiled_octave_chain(
+                    tuple(dims_a), float(s_i), float(s_p), bool(up_a),
+                    float(tr), tuple(octv.real_shape),
+                    float(det_cfg.threshold_abs),
+                    int(det_cfg.exclude_border), float(det_cfg.max_offset),
+                    int(det_cfg.newton_iters), int(det_cfg.max_anchors),
+                    int(spec_k), int(radius), cfg.orient.eqsp_size,
+                    cfg.orient.max_main, cfg.orient.max_sec,
+                    float(cfg.orient.cutoff_magn), float(cfg.orient.gw_sig),
+                    cfg.describe.subeqsp_size, cfg.describe.subregions,
+                    float(cfg.describe.cutoff_magn),
+                    float(cfg.describe.zero_magn), int(lane_cap),
+                    dsc_radius=int(dsc_radius),
+                    donate=bool(getattr(octv, "_final", False)
+                                and dims_vox > 8_000_000))
+                descs, counts_d, dev = fn(octv._data)
+                sanitize.watch(f"describe[o{oi}]", descs)
+            pending.append(dict(
+                oi=oi, voxsp=octv.voxsp, origin=origin, base=anchor_base,
+                counts=counts_d, desc=descs, dev=dev))
+            anchor_base += det_cfg.max_anchors
+            del octv
             continue
 
         with stage("detect"):

@@ -76,12 +76,12 @@ def region_ids(radius: int, subregions: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-@warmable
-def _compiled_describe(shape: Tuple[int, int, int],
-                       real_shape: Tuple[int, int, int], upsampled: bool,
-                       radius: int, subeqsp_size: int, subregions: int,
-                       cutoff: float, zero_magn: float, chunk: int,
-                       mesh: Mesh = None, shard_l: int = 0):
+def _describe_body(shape: Tuple[int, int, int],
+                   real_shape: Tuple[int, int, int], upsampled: bool,
+                   radius: int, subeqsp_size: int, subregions: int,
+                   cutoff: float, zero_magn: float, chunk: int):
+    """Unjitted descriptor body (shared with _compiled_describe and the
+    whole-octave fused chain, engine/pipeline._compiled_octave_chain)."""
     eqsp = get_eqsp(subeqsp_size)
     zone_ids = zone_assign_fn(eqsp)
     lattice_np = descriptor_lattice(radius, upsampled)
@@ -149,6 +149,19 @@ def _compiled_describe(shape: Tuple[int, int, int],
         return (descs.reshape(d, subregions * subeqsp_size),
                 ok.reshape(d))
 
+    return describe
+
+
+@functools.lru_cache(maxsize=32)
+@warmable
+def _compiled_describe(shape: Tuple[int, int, int],
+                       real_shape: Tuple[int, int, int], upsampled: bool,
+                       radius: int, subeqsp_size: int, subregions: int,
+                       cutoff: float, zero_magn: float, chunk: int,
+                       mesh: Mesh = None, shard_l: int = 0):
+    describe = _describe_body(shape, real_shape, upsampled, radius,
+                              subeqsp_size, subregions, cutoff, zero_magn,
+                              chunk)
     if mesh is None:
         return jax.jit(describe)
     # Capacity mode (multi-chip): the gradient volume STAYS sharded in

@@ -209,12 +209,14 @@ def _sphere_mask(radius: int, gw_sig: float) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-@warmable
-def _compiled_orient(shape: Tuple[int, int, int],
-                     real_shape: Tuple[int, int, int], stride: int,
-                     radius: int, eqsp_size: int, max_main: int, max_sec: int,
-                     cutoff: float, gw_sig: float, chunk: int,
-                     mesh: Mesh = None, shard_k: int = 0, lane_cap: int = 0):
+def _orient_bodies(shape: Tuple[int, int, int],
+                   real_shape: Tuple[int, int, int], stride: int,
+                   radius: int, eqsp_size: int, max_main: int, max_sec: int,
+                   cutoff: float, gw_sig: float, chunk: int,
+                   lane_cap: int = 0):
+    """Unjitted orientation bodies: (orient, orient_fused-or-None). Shared
+    between _compiled_orient and the whole-octave fused chain
+    (engine/pipeline._compiled_octave_chain)."""
     eqsp = get_eqsp(eqsp_size)
     hist = zone_hist_fn(eqsp)
     mask_np = _sphere_mask(radius, gw_sig).reshape(-1)
@@ -314,6 +316,7 @@ def _compiled_orient(shape: Tuple[int, int, int],
                 rfin.reshape(k, max_main, max_sec, 3, 3),
                 ok.reshape(k, max_main, max_sec))
 
+    orient_fused = None
     if lane_cap:
         # Fused orientation + lane compaction (single-device fast path):
         # valid lanes first into a STATIC lane_cap frame, ready for the
@@ -332,6 +335,20 @@ def _compiled_orient(shape: Tuple[int, int, int],
                     flat_ok[order], lane_anchor, lane_main, lane_sec,
                     coords[lane_anchor], jnp.sum(flat_ok))
 
+    return orient, orient_fused
+
+
+@functools.lru_cache(maxsize=32)
+@warmable
+def _compiled_orient(shape: Tuple[int, int, int],
+                     real_shape: Tuple[int, int, int], stride: int,
+                     radius: int, eqsp_size: int, max_main: int, max_sec: int,
+                     cutoff: float, gw_sig: float, chunk: int,
+                     mesh: Mesh = None, shard_k: int = 0, lane_cap: int = 0):
+    orient, orient_fused = _orient_bodies(
+        shape, real_shape, stride, radius, eqsp_size, max_main, max_sec,
+        cutoff, gw_sig, chunk, lane_cap)
+    if lane_cap:
         return jax.jit(orient_fused)
 
     if mesh is None:

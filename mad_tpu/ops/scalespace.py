@@ -162,6 +162,16 @@ def _compiled_log_detect(shape: Tuple[int, int, int], sig_init: float,
     topology every program call and every sync costs ~100-150 ms, so the
     fused chain is what makes the steady-state describe pass latency-lean
     (engine/pipeline.py fused path)."""
+    return jax.jit(_log_detect_body(
+        shape, sig_init, sig_presmooth, up, truncate, real_shape, threshold,
+        exclude_border, max_offset, n_iter, capacity, spec_k))
+
+
+def _log_detect_body(shape, sig_init, sig_presmooth, up, truncate,
+                     real_shape, threshold, exclude_border, max_offset,
+                     n_iter, capacity, spec_k):
+    """Unjitted LoG+detect+compaction body (shared with the whole-octave
+    fused chain, engine/pipeline._compiled_octave_chain)."""
     from .detect import _detect_core
 
     log_shape = (tuple(2 * s - 1 for s in shape) if up else tuple(shape))
@@ -180,7 +190,7 @@ def _compiled_log_detect(shape: Tuple[int, int, int], sig_init: float,
         order_a = jnp.argsort(~valid, stable=True)[:spec_k].astype(jnp.int32)
         return pos[order_a], valid[order_a], order_a, subvox, n_anch
 
-    return jax.jit(build)
+    return build
 
 
 @functools.lru_cache(maxsize=32)
@@ -196,6 +206,16 @@ def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
     gradient is the last consumer of the shared padded volume, so its
     ~V*4 bytes are reusable for the build temporaries — the scale-space
     HBM peak, SURVEY §5 donation audit)."""
+    build = _grad_body(shape, sig_init, sig_presmooth, up, truncate, dtype,
+                       mesh)
+    if mesh is None:
+        return jax.jit(build, donate_argnums=(0,) if donate else ())
+    return jax.jit(build, out_shardings=_mesh_out(mesh, 4))
+
+
+def _grad_body(shape, sig_init, sig_presmooth, up, truncate,
+               dtype="float32", mesh=None):
+    """Unjitted gradient-field body (shared with the fused octave chain)."""
     out_dtype = jnp.dtype(dtype)
 
     def build(vol):
@@ -217,9 +237,7 @@ def _compiled_grad(shape: Tuple[int, int, int], sig_init: float,
             out = jnp.pad(out, ((0, 1), (0, 0), (0, 0), (0, 0)))
         return out
 
-    if mesh is None:
-        return jax.jit(build, donate_argnums=(0,) if donate else ())
-    return jax.jit(build, out_shardings=_mesh_out(mesh, 4))
+    return build
 
 
 class LazyOctave:

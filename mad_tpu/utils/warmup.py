@@ -586,13 +586,42 @@ def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
         frames.add((min(512, int(det.max_anchors)),
                     min(_bucket(dsc.static_lanes, 128), full_l)))
 
-    for dims, real_shape, up in _octave_params(grid_shape, cfg):
+    octaves = _octave_params(grid_shape, cfg)
+    for octave_i, (dims, real_shape, up) in enumerate(octaves):
         vol = jax.ShapeDtypeStruct(dims, f32)
         args = (dims, float(ss.detect_sigma), float(ss.presmooth_sigma),
                 up, float(ss.truncate))
         n_vox = 1
         for s in real_shape:
             n_vox *= s
+        from ..engine.pipeline import (FUSE_OCTAVE_VOXELS,
+                                       _compiled_octave_chain)
+        if n_vox <= FUSE_OCTAVE_VOXELS:
+            # Mirror describe_grid's whole-octave fused chain exactly,
+            # including which octave donates its input (the last one,
+            # whenever map padding gives it its own buffer).
+            dims_vox = 1
+            for s in dims:
+                dims_vox *= int(s)
+            final = (octave_i == len(octaves) - 1
+                     and cfg.scalespace.map_padding > 0)
+            dsc_radius = (dsc.patch_size - dsc.patch_size % 2) // 2
+            for spec_k, lane_cap in sorted(frames):
+                ch_fn = _compiled_octave_chain(
+                    tuple(dims), float(ss.detect_sigma),
+                    float(ss.presmooth_sigma), bool(up), float(ss.truncate),
+                    tuple(real_shape), float(det.threshold_abs),
+                    int(det.exclude_border), float(det.max_offset),
+                    int(det.newton_iters), int(det.max_anchors),
+                    int(spec_k), int(radius), ori.eqsp_size, ori.max_main,
+                    ori.max_sec, float(ori.cutoff_magn), float(ori.gw_sig),
+                    dsc.subeqsp_size, dsc.subregions,
+                    float(dsc.cutoff_magn), float(dsc.zero_magn),
+                    int(lane_cap), dsc_radius=int(dsc_radius),
+                    donate=bool(final and dims_vox > 8_000_000))
+                yield ch_fn, (vol,)
+            continue
+
         gdtype = ("bfloat16" if n_vox > ssp.LazyOctave.BF16_VOXELS
                   else "float32")
         grad_fn = ssp._compiled_grad(*args, dtype=gdtype)

@@ -102,3 +102,15 @@ def test_overflow_redo_uses_rung_not_full(system, tmp_path, monkeypatch):
     full_l = cfg.describe.max_descriptors
     assert caps[1] < full_l          # rung, not the full frame
     assert caps[1] >= d.n            # but holds the real lane count
+
+
+def test_whole_octave_chain_equals_split(system, monkeypatch):
+    """The whole-octave fused program (one dispatch: LoG+detect+grad+
+    orient+describe) returns exactly the split three-program path's rows —
+    same bodies, same compaction, same descriptors."""
+    from mad_tpu.engine import pipeline as pl
+    cfg, dmap = system
+    d_fused = describe_grid(dmap, cfg, name="m")       # default: fused
+    monkeypatch.setattr(pl, "FUSE_OCTAVE_VOXELS", 0)   # force split
+    d_split = describe_grid(dmap, cfg, name="m")
+    _assert_sets_equal(d_fused, d_split)
