@@ -19,7 +19,7 @@ from ..core.config import MadConfig, bucket
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from ..ops.simulate import simulate_density
-from ..ops.scalespace import build_scale_space, iter_lazy_octaves
+from ..ops.scalespace import iter_lazy_octaves
 from ..ops.detect import detect_anchors
 from ..ops.orient import orient_anchors
 from ..ops.describe import describe_anchors

@@ -40,7 +40,7 @@ except ImportError:  # older jax
 from ..core.config import OrientConfig
 from ..parallel.mesh import mesh_axis
 from ..core.eqsp import EQSPSphere, get_eqsp
-from ..core.geometry import axis_angle_mat, rotation_about_z, spherical_angles
+from ..core.geometry import rotation_about_z, spherical_angles
 from .detect import Anchors
 from ..utils.warmup import warmable
 

@@ -234,7 +234,6 @@ class _WarmProxy:
                             print(f"warm> STALE exe {self._qual}: "
                                   f"{type(e).__name__}: {e}", flush=True)
                 elif os.environ.get("MAD_TPU_DEBUG_WARM"):
-                    import traceback
                     print(f"warm> exe MISS {self._qual} sig={_masked(sig)}")
         return self._fn(*a, **kw)
 
