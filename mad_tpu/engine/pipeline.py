@@ -548,7 +548,14 @@ def _describe_octave_mesh(octv, anch, upsampled, cfg: MadConfig, mesh):
 # live; above this combined voxel count (two largest jobs) the chains run
 # serially so the streamed-octave "one field at a time" HBM guarantee
 # holds for 300^3+ maps on 16 GB chips.
-SERIAL_DESCRIBE_VOXELS = 250_000_000
+# Threading gate for concurrent describe chains, as the SUM of the two
+# largest jobs' PADDED BASE voxel counts. A fused-octave chain's peak
+# working set is ~24 bytes per UP-octave voxel (LoG + f32 gradient field
+# coexisting inside the program) and the up octave is ~8x the base, so
+# ~64 M base voxels across two concurrent chains ~= 12 GB — the 16 GB
+# budget with headroom. Bigger jobs run serially (their octaves also
+# leave the fused gate and stream, see FUSE_OCTAVE_VOXELS).
+SERIAL_DESCRIBE_VOXELS = 64_000_000
 
 
 def describe_many(jobs, max_workers: int = 2, voxels=None):
