@@ -118,3 +118,13 @@ def test_replay_only_filter(isolated_manifest):
     assert futs == [] or len(warmup._exe_cache) == 0
     futs = warmup.replay(block=True, only=("assemble",))
     assert len(warmup._exe_cache) == 1
+
+
+def test_pipeline_programs_fused_inventory():
+    """Shapes under the fused-octave gate prewarm exactly one chain
+    program per octave (the split trio otherwise)."""
+    from mad_tpu.core.config import MadConfig
+    cfg = MadConfig()
+    names = [getattr(fn, "_qual", "?").rsplit(":", 1)[-1]
+             for fn, _a in warmup.pipeline_programs((96, 96, 96), cfg)]
+    assert names == ["_compiled_octave_chain"] * 2
