@@ -61,7 +61,10 @@ def run_fit(sub, copies, dmap, resolution, cfg):
     if len(sols) >= 2:
         structures = [s.structure for s in sols]
         with stage("bench.overlap_matrix"):
-            overlap = asm.solution_overlap(structures, cfg.assembly)
+            # defer=True: the matrix stays on device and chains into the
+            # enumeration head; one relay sync instead of two.
+            overlap = asm.solution_overlap(structures, cfg.assembly,
+                                           defer=True)
         with stage("bench.enumerate"):
             tuples, sums, stds, maxs = asm.enumerate_homomultimer(
                 len(sols), min(n_copies, len(sols)), overlap)

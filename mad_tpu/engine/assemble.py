@@ -40,6 +40,28 @@ class AssemblyModel:
     max_overlap: float
 
 
+@dataclass
+class DeferredOverlap:
+    """Device-resident pairwise overlap matrix (``solution_overlap``
+    defer=True): the enumeration head consumes it ON DEVICE without an
+    intermediate host sync; host users pull it once, lazily, folded into
+    the enumeration's own result pull where possible."""
+
+    dev: object                    # (m_pad, m_pad) f32 upper-triangular
+    n: int                         # real solution count
+    _host: Optional[np.ndarray] = None
+
+    def host(self) -> np.ndarray:
+        if self._host is None:
+            import jax
+            self.set_host(jax.device_get(self.dev))
+        return self._host
+
+    def set_host(self, pulled) -> None:
+        self._host = np.asarray(pulled)[: self.n, : self.n].astype(
+            np.float64)
+
+
 # Every enumeration restriction is announced (no silent coverage caps): the
 # notes print as MaD> lines and accumulate here so the orchestrator can
 # surface them in complex_ranking.csv metadata.
@@ -144,14 +166,17 @@ def _compiled_pack_overlap(m: int, box: tuple, frame: tuple, zp: int):
     return jax.jit(run)
 
 
-def solution_overlap(structures: Sequence[Structure], cfg: AssemblyConfig
-                     ) -> np.ndarray:
+def solution_overlap(structures: Sequence[Structure], cfg: AssemblyConfig,
+                     defer: bool = False) -> np.ndarray:
     """Pairwise overlap-fraction matrix for a solution set, fully on device
     (parity mad/MaD.py:659-668): one batched simulate (atom counts padded
     with zero-mass atoms so hetero subunits share the program), one fused
     pack/popcount program, one (n, n) host pull. Replaces the
     solution_grids + _overlap_matrix host path, which pulled every
-    occupancy grid through the host relay."""
+    occupancy grid through the host relay.
+
+    defer=True skips the pull and returns a DeferredOverlap the enumeration
+    heads chain onto device-side (one fewer relay sync per assembly)."""
     import jax
     import jax.numpy as jnp
     from ..core.config import bucket
@@ -187,6 +212,8 @@ def solution_overlap(structures: Sequence[Structure], cfg: AssemblyConfig
     fn = _compiled_pack_overlap(m_pad, tuple(box), (ext[0], ext[1]),
                                 ext[2] // 32)
     ov = fn(dens, jnp.asarray(off))
+    if defer:
+        return DeferredOverlap(dev=ov, n=n)
     return np.asarray(jax.device_get(ov))[:n, :n].astype(np.float64)
 
 
@@ -286,6 +313,28 @@ _ENUM_NMAX = 64     # static solution-frame size for the unranking program
 
 @functools.lru_cache(maxsize=16)
 @warmable
+def _compiled_embed_sym(m_pad: int, frame: int):
+    """(m_pad, m_pad) upper-triangular device overlap -> symmetrized
+    (frame, frame) matrix with rows/cols >= ``t`` zeroed (the enumeration
+    trim), chaining a DeferredOverlap into the head program with no host
+    round trip."""
+    import jax
+    import jax.numpy as jnp
+
+    k = min(m_pad, frame)
+    ids = np.arange(k)
+
+    def run(ov, t):
+        sym = ov + ov.T
+        mask = (ids < t).astype(jnp.float32)
+        block = sym[:k, :k] * mask[:, None] * mask[None, :]
+        return jnp.pad(block, ((0, frame - k), (0, frame - k)))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_enumerate_head(k: int, head: int, chunk: int):
     """Head of the C(n, k) ranking by max pairwise overlap, ON DEVICE and
     shape-generic in n: combination ranks decode to occupancy masks via a
@@ -369,8 +418,10 @@ def enumerate_homomultimer(n_solutions: int, n_copies: int,
     and says so (every restriction prints + records a note, pop_enum_notes).
     """
     import math
+    import jax
     import jax.numpy as jnp
     from ..core.config import bucket
+    deferred = overlap if isinstance(overlap, DeferredOverlap) else None
     n_orig = n_solutions
     n_copies = min(n_copies, n_solutions)
     while (n_solutions > n_copies
@@ -390,6 +441,8 @@ def enumerate_homomultimer(n_solutions: int, n_copies: int,
     # bounds k <= 4, cheap on host).
     if (math.comb(n_solutions, n_copies) <= 4 * head
             or n_solutions > _ENUM_NMAX):
+        if deferred is not None:
+            overlap = deferred.host()
         tuples = _all_combinations(n_solutions, n_copies)
         s, sd, mx = _score_tuples(tuples, overlap)
         order = np.argsort(mx, kind="stable")
@@ -398,17 +451,30 @@ def enumerate_homomultimer(n_solutions: int, n_copies: int,
     _note(f"MaD> enumeration ranking computed on device; materializing the "
           f"best {head} of {math.comb(n_solutions, n_copies):,} tuples "
           "(model building consumes the ranking head only)")
-    sym = np.zeros((_ENUM_NMAX, _ENUM_NMAX), np.float32)
-    ov_n = overlap[:n_solutions, :n_solutions]
-    sym[:n_solutions, :n_solutions] = ov_n + ov_n.T
     tab = np.zeros((_ENUM_NMAX, n_copies), np.int32)
     for x in range(n_solutions):
         for i in range(n_copies):
             tab[x, i] = math.comb(n_solutions - 1 - x, n_copies - 1 - i)
+    if deferred is not None:
+        # Chain the device overlap straight into the head program; the
+        # matrix itself rides the head's result pull.
+        m_pad = int(deferred.dev.shape[0])
+        sym_d = _compiled_embed_sym(m_pad, _ENUM_NMAX)(
+            deferred.dev, np.int32(n_solutions))
+    else:
+        sym = np.zeros((_ENUM_NMAX, _ENUM_NMAX), np.float32)
+        ov_n = overlap[:n_solutions, :n_solutions]
+        sym[:n_solutions, :n_solutions] = ov_n + ov_n.T
+        sym_d = jnp.asarray(sym)
     fn = _compiled_enumerate_head(n_copies, head, chunk=1 << 14)
-    idx, mx = fn(jnp.asarray(sym), jnp.asarray(tab),
+    idx, mx = fn(sym_d, jnp.asarray(tab),
                  np.int32(math.comb(n_solutions, n_copies)))
-    keep = np.asarray(idx)
+    if deferred is not None:
+        keep, ov_pull = jax.device_get((idx, deferred.dev))
+        deferred.set_host(ov_pull)
+        overlap = deferred.host()
+    else:
+        keep = np.asarray(idx)
     top = np.asarray([_unrank_combination(int(r), n_solutions, n_copies)
                       for r in keep], dtype=np.int32)
     s, sd, mx2 = _score_tuples(top, overlap)
@@ -496,6 +562,7 @@ def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
     ``max_combinations`` the largest groups trim to their best-ranked
     entries (lists arrive ranking-sorted) and the trim is announced
     (printed + recorded, pop_enum_notes)."""
+    deferred = overlap if isinstance(overlap, DeferredOverlap) else None
     lists = [np.asarray(v) for v in groups.values()]
     sizes = [len(v) for v in lists]
     sizes0 = list(sizes)
@@ -513,6 +580,8 @@ def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
     m = int(np.prod(sizes))
 
     if m <= 4 * head:
+        if deferred is not None:
+            overlap = deferred.host()
         tuples = np.array(list(product(*[range(s) for s in sizes])),
                           dtype=np.int64).reshape(m, len(sizes))
         gather = np.stack([lists[k][tuples[:, k]]
@@ -521,6 +590,7 @@ def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
         order = np.argsort(s, kind="stable")
         return gather[order], s[order], sd[order], mx[order]
 
+    import jax
     import jax.numpy as jnp
     _note(f"MaD> enumeration ranking computed on device; materializing the "
           f"best {head} of {m:,} tuples (model building consumes the "
@@ -529,10 +599,23 @@ def enumerate_heteromer(groups: Dict[str, List[int]], overlap: np.ndarray,
     lists_p = np.zeros((len(sizes), max_n), dtype=np.int32)
     for g, lv in enumerate(lists):
         lists_p[g, : len(lv)] = lv
-    sym = (overlap + overlap.T).astype(np.float32)
-    fn = _compiled_hetero_head(tuple(sizes), max_n, overlap.shape[0], head,
+    if deferred is not None:
+        # Symmetrize on device (frame = the padded device matrix; padding
+        # rows are zero and never indexed by the group lists).
+        m_pad = int(deferred.dev.shape[0])
+        sym_d = _compiled_embed_sym(m_pad, m_pad)(deferred.dev,
+                                                  np.int32(m_pad))
+        nsol_key = m_pad
+    else:
+        sym_d = jnp.asarray((overlap + overlap.T).astype(np.float32))
+        nsol_key = overlap.shape[0]
+    fn = _compiled_hetero_head(tuple(sizes), max_n, nsol_key, head,
                                chunk=1 << 14)
-    ridx, _sums = fn(jnp.asarray(sym), jnp.asarray(lists_p))
+    ridx, _sums = fn(sym_d, jnp.asarray(lists_p))
+    if deferred is not None:
+        ridx, ov_pull = jax.device_get((ridx, deferred.dev))
+        deferred.set_host(ov_pull)
+        overlap = deferred.host()
     ridx = np.asarray(ridx, dtype=np.int64)
     # decode head tuples on host (mixed radix), re-score for [sum, std, max]
     decoded = np.empty((len(ridx), len(sizes)), dtype=np.int64)

@@ -16,15 +16,17 @@ from typing import List
 import numpy as np
 from scipy.spatial import cKDTree
 
-from ..core.config import MadConfig
+from ..core.config import MadConfig, bucket
 from ..core.geometry import kabsch_np
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from .score import ccc_structures
-from .pipeline import DescriptorSet
-from .match import match_descriptors, exact_rescore, MatchTable
+from .pipeline import DescriptorSet, _frames_get, _frames_put
+from .match import (match_descriptors, match_pairs, exact_rescore,
+                    MatchTable, _pad_rows)
 from .cluster import filter_pairs, Candidate
 from .refine import refine_candidates
+from ..utils import sanitize
 from ..utils.profiling import stage
 
 
@@ -53,7 +55,18 @@ def _refine_and_merge(candidates: List[Candidate], solutions: List[Solution],
     ]).astype(np.float32)
     with stage("refine"):
         res = refine_candidates(dmap, starts, cfg.refine, mesh=mesh)
+    return _merge_refined(res, candidates, solutions, sub_struct, dmap,
+                          table, cfg)
 
+
+def _merge_refined(res, candidates: List[Candidate],
+                   solutions: List[Solution], sub_struct: Structure,
+                   dmap: DensityGrid, table: MatchTable,
+                   cfg: MadConfig) -> int:
+    """Post-refinement host half: Kabsch re-pose, repeatability re-score,
+    CA-RMSD dedup + weight merge. ``res`` rows beyond ``candidates`` are
+    padding lanes (fused path) and are ignored."""
+    x0 = sub_struct.coords
     # Re-scored repeatability after refinement (mad/MaD.py:580-590):
     # batched host Kabsch (C tiny 3x3 SVDs; device round trips would cost
     # more than the math), then host NN queries.
@@ -92,6 +105,267 @@ def _refine_and_merge(candidates: List[Candidate], solutions: List[Solution],
     return n_new
 
 
+def _candidates_from_select(table: MatchTable, hi_bins, lo_bins, assign,
+                            found_i, weights, slot_order) -> List[Candidate]:
+    """Rebuild the Candidate records the host clustering would have produced
+    from the fused program's outputs. ``assign[i]`` is the cluster slot of
+    the i-th pair of the (sorted) ``table``; ``found_i[slot]`` its founding
+    row; ``slot_order`` the gated slots in weight*repeat order."""
+    cands = []
+    for slot in slot_order:
+        slot = int(slot)
+        row = int(found_i[slot])
+        w = int(weights[slot])
+        mem = np.nonzero(assign == slot)[0]
+        members = [np.concatenate([table.hi_coord[i], table.lo_coord[i],
+                                   [hi_bins[i], lo_bins[i]]]) for i in mem]
+        rep = float(table.repeat[row])
+        cands.append(Candidate(
+            hi_coord=table.hi_coord[row], lo_coord=table.lo_coord[row],
+            rot=table.rot[row], cc=float(table.cc[row]), weight=w,
+            repeat=rep, score=rep * w, members=members))
+    return cands
+
+
+def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
+                          sub_struct: Structure, dmap: DensityGrid,
+                          resolution: float, cfg: MadConfig, n_copies: int,
+                          verbose: bool, on_filtered) -> List[Solution]:
+    """Single-device docking through the fused select programs: after the
+    similarity pull, repeatability -> ordering -> clustering -> start poses
+    run as ONE dispatch per round and the refinement chains onto its device
+    outputs, so each round costs two host syncs (the refinement's segment
+    boundary + one consolidated pull) instead of four. Candidate and table
+    bookkeeping is reconstructed host-side from the consolidated pull;
+    results match the split path (engine/dock_fused docstring)."""
+    import jax.numpy as jnp
+    from .dock_fused import (_compiled_dock_select, _compiled_rescue_select,
+                             cloud_moments)
+
+    fc = cfg.filter
+    mc = cfg.match
+    n_samples = fc.n_samples * n_copies
+
+    with stage("match"):
+        pairs = match_pairs(map_set, sub_set, mc)
+    if pairs is None:
+        if verbose:
+            print(f"MaD> 0 descriptor pairs above cc={mc.cc_threshold:.2f}")
+        return []
+    ccs, rows, cols = pairs["ccs"], pairs["rows"], pairs["cols"]
+    rot, hi_coord, lo_coord = (pairs["rot"], pairs["hi_coord"],
+                               pairs["lo_coord"])
+    hi_cloud, lo_cloud = pairs["hi_cloud"], pairs["lo_cloud"]
+    n_pairs = len(rows)
+    if verbose:
+        print(f"MaD> {n_pairs} descriptor pairs above "
+              f"cc={mc.cc_threshold:.2f}")
+
+    # Static frames (mirroring engine/match.match_descriptors).
+    p = bucket(max(n_pairs, 256), 256)
+    want = max(mc.exact_top, n_samples)
+    n_exact = min(bucket(want, 64), bucket(n_pairs, 64))
+    pe = bucket(n_exact, 64)
+    a_hi = bucket(hi_cloud.shape[0], 256)
+    a_lo = bucket(lo_cloud.shape[0], 256)
+    n_scan = bucket(max(min(n_samples, n_pairs), 64), 64)
+    # Candidate-lane frame: remembered per structure pair (the measured
+    # cluster counts are deterministic per system), 16-granular; an
+    # overflow redoes the refinement through the host path this call and
+    # right-sizes the NEXT process (pipeline frame-memory pattern).
+    cap_key = f"dockc|{map_set.name}|{sub_set.name}"
+    c_cap = (_frames_get(cap_key) or (48,))[0]
+    c_cap = int(min(max(c_cap, 16), n_scan))
+    nb = bucket(sub_struct.n_atoms, 256)
+    n_atoms = sub_struct.n_atoms
+    x0p = np.concatenate([
+        sub_struct.coords,
+        np.repeat(sub_struct.coords[:1], nb - n_atoms, axis=0)
+    ]).astype(np.float32)
+    mu, M = cloud_moments(hi_cloud)
+
+    rot_p = _pad_rows(rot.astype(np.float32), p)
+    rot_p[n_pairs:] = np.eye(3)
+    hc_p = _pad_rows(hi_coord.astype(np.float32), p)
+    lc_p = _pad_rows(lo_coord.astype(np.float32), p)
+    hi_cloud_p = _pad_rows(hi_cloud.astype(np.float32), a_hi)
+    hi_valid = np.zeros(a_hi, bool)
+    hi_valid[: hi_cloud.shape[0]] = True
+    lo_cloud_p = _pad_rows(lo_cloud.astype(np.float32), a_lo)
+    lo_valid = np.zeros(a_lo, bool)
+    lo_valid[: lo_cloud.shape[0]] = True
+    origin_f = np.asarray(dmap.origin, dtype=np.float32)
+    r_vox = max(1, int(round(mc.anchor_dist / dmap.voxsp)))
+    lo_vox = np.clip(np.round(
+        (lo_cloud_p - origin_f) / dmap.voxsp).astype(np.int32),
+        0, np.asarray(dmap.shape) - 1)
+
+    with stage("match"):
+        sel_fn = _compiled_dock_select(
+            tuple(dmap.shape), r_vox, a_hi, a_lo, p, pe, n_scan, c_cap, nb,
+            float(mc.anchor_dist), float(fc.rmsd_cloud),
+            int(fc.weight_threshold), float(fc.min_repeat),
+            float(fc.repeat_frac))
+        sel, starts, frozen0 = sel_fn(
+            lo_vox, lo_valid, hi_cloud_p, hi_valid, lo_cloud_p, origin_f,
+            np.float32(1.0 / dmap.voxsp), rot_p, hc_p, lc_p,
+            np.int32(n_pairs), np.int32(min(n_exact, n_pairs)),
+            np.int32(min(n_samples, n_pairs)), mu, M, x0p)
+    with stage("refine"):
+        res = refine_candidates(dmap, None, cfg.refine,
+                                device_starts=starts, n_atoms=n_atoms,
+                                frozen0=frozen0, extra=sel)
+    (order, assign, found_i, weights, gate, cand_order, n_cands,
+     rep_full) = res.extra
+    sanitize.check_host("match.repeat", np.asarray(rep_full)[:n_pairs])
+    n_cands = int(n_cands)
+    cap_needed = n_cands
+
+    o = np.asarray(order[:n_pairs])
+    table = MatchTable(
+        cc=ccs[o], repeat=np.asarray(rep_full)[o], hi_idx=rows[o],
+        lo_idx=cols[o], rot=rot[o], hi_coord=hi_coord[o],
+        lo_coord=lo_coord[o], hi_cloud=hi_cloud, lo_cloud=lo_cloud)
+    hi_bins = sub_set.main_bin[table.hi_idx]
+    lo_bins = map_set.main_bin[table.lo_idx]
+
+    solutions: List[Solution] = []
+    if n_cands > c_cap:
+        # Frame overflow: every gated cluster, re-ranked on host, through
+        # the split refine path (correct, one-off; the rung memory
+        # right-sizes the next process).
+        slots = np.nonzero(np.asarray(gate))[0]
+        score = (table.repeat[np.asarray(found_i)[slots]]
+                 * np.asarray(weights)[slots])
+        slot_order = slots[np.argsort(-score, kind="stable")]
+        candidates = _candidates_from_select(
+            table, hi_bins, lo_bins, np.asarray(assign),
+            np.asarray(found_i), np.asarray(weights), slot_order)
+        if verbose:
+            print(f"MaD> {len(candidates)} filtered pose candidates")
+        if on_filtered is not None:
+            on_filtered(candidates)
+        if candidates:
+            _refine_and_merge(candidates, solutions, sub_struct, dmap,
+                              table, cfg)
+    else:
+        slot_order = np.asarray(cand_order)[:n_cands]
+        candidates = _candidates_from_select(
+            table, hi_bins, lo_bins, np.asarray(assign),
+            np.asarray(found_i), np.asarray(weights), slot_order)
+        if verbose:
+            print(f"MaD> {len(candidates)} filtered pose candidates")
+        if on_filtered is not None:
+            on_filtered(candidates)
+        if candidates:
+            res_slice = type(res)(
+                rot=res.rot[:n_cands], trans=res.trans[:n_cands],
+                coords=res.coords[:n_cands],
+                converged=res.converged[:n_cands],
+                steps=res.steps[:n_cands], failed=res.failed[:n_cands])
+            _merge_refined(res_slice, candidates, solutions, sub_struct,
+                           dmap, table, cfg)
+
+    # Rescue rounds (same semantics as the split path below).
+    best_repeat = float(table.repeat[0]) if table.n else 0.0
+    for _ in range(max(0, int(fc.rescue_rounds))):
+        if not solutions:
+            break
+        atoms = np.concatenate([s.structure.coords for s in solutions])
+        d, _ = cKDTree(atoms).query(
+            table.lo_coord, distance_upper_bound=mc.anchor_dist)
+        elig = np.nonzero(d > mc.anchor_dist)[0]
+        if not len(elig):
+            break
+        top = elig[:n_samples]
+        pe_r = bucket(max(len(top), 64), 64)
+        n_scan_r = bucket(max(len(top), 64), 64)
+        rot_e = _pad_rows(table.rot[top].astype(np.float32), pe_r)
+        rot_e[len(top):] = np.eye(3)
+        hc_e = _pad_rows(table.hi_coord[top].astype(np.float32), pe_r)
+        lc_e = _pad_rows(table.lo_coord[top].astype(np.float32), pe_r)
+        with stage("rescue.rescore"):
+            r_fn = _compiled_rescue_select(
+                a_hi, a_lo, pe_r, n_scan_r, c_cap, nb,
+                float(mc.anchor_dist), float(fc.rmsd_cloud),
+                int(fc.weight_threshold), float(fc.min_repeat),
+                float(fc.repeat_frac))
+            sel_r, starts_r, frozen0_r = r_fn(
+                hi_cloud_p, hi_valid, lo_cloud_p, lo_valid, rot_e, hc_e,
+                lc_e, np.int32(len(top)), np.float32(best_repeat), mu, M,
+                x0p)
+        with stage("refine"):
+            res_r = refine_candidates(dmap, None, cfg.refine,
+                                      device_starts=starts_r,
+                                      n_atoms=n_atoms, frozen0=frozen0_r,
+                                      extra=sel_r)
+        (order_r, assign_r, found_r, weights_r, gate_r, cand_order_r,
+         n_cands_r, erep_r) = res_r.extra
+        n_cands_r = int(n_cands_r)
+        cap_needed = max(cap_needed, n_cands_r)
+        o_r = np.asarray(order_r)[: len(top)]
+        sub_table = table.take(top[o_r],
+                               repeat=np.asarray(erep_r)[o_r])
+        if n_cands_r == 0:
+            break
+        sub_hi = sub_set.main_bin[sub_table.hi_idx]
+        sub_lo = map_set.main_bin[sub_table.lo_idx]
+        if n_cands_r > c_cap:
+            slots = np.nonzero(np.asarray(gate_r))[0]
+            score = (sub_table.repeat[np.asarray(found_r)[slots]]
+                     * np.asarray(weights_r)[slots])
+            slot_order = slots[np.argsort(-score, kind="stable")]
+            cands_r = _candidates_from_select(
+                sub_table, sub_hi, sub_lo, np.asarray(assign_r),
+                np.asarray(found_r), np.asarray(weights_r), slot_order)
+            n_new = _refine_and_merge(cands_r, solutions, sub_struct, dmap,
+                                      table, cfg)
+        else:
+            slot_order = np.asarray(cand_order_r)[:n_cands_r]
+            cands_r = _candidates_from_select(
+                sub_table, sub_hi, sub_lo, np.asarray(assign_r),
+                np.asarray(found_r), np.asarray(weights_r), slot_order)
+            res_slice = type(res_r)(
+                rot=res_r.rot[:n_cands_r], trans=res_r.trans[:n_cands_r],
+                coords=res_r.coords[:n_cands_r],
+                converged=res_r.converged[:n_cands_r],
+                steps=res_r.steps[:n_cands_r],
+                failed=res_r.failed[:n_cands_r])
+            n_new = _merge_refined(res_slice, cands_r, solutions,
+                                   sub_struct, dmap, table, cfg)
+        if verbose and n_new:
+            print(f"MaD> Rescue round: {n_new} additional solution(s) in "
+                  "unexplained density")
+        if n_new == 0:
+            break
+
+    # Remember the right-sized candidate frame for future processes (not
+    # adopted mid-process: a new frame would mean a cold compile mid-run).
+    desired = int(min(max(16, -(-int(cap_needed * 1.25 + 4) // 16) * 16),
+                      n_scan))
+    if desired != c_cap:
+        _frames_put(cap_key, (desired,))
+
+    return _finalize_solutions(solutions, sub_struct, dmap, resolution, cfg)
+
+
+def _finalize_solutions(solutions: List[Solution], sub_struct: Structure,
+                        dmap: DensityGrid, resolution: float,
+                        cfg: MadConfig) -> List[Solution]:
+    """CC-score, RWmCC-rank (shared tail of both docking paths)."""
+    if solutions:
+        with stage("solution_ccc"):
+            coords_b = np.stack([s.structure.coords for s in solutions])
+            cccs = ccc_structures(dmap, coords_b, sub_struct.masses,
+                                  resolution, shape_bucket=cfg.shape_bucket)
+        for s, c in zip(solutions, cccs):
+            s.ccc = float(c)
+    for s in solutions:
+        s.score = s.repeat * s.weight * s.ccc
+    solutions.sort(key=lambda s: s.score, reverse=True)
+    return solutions
+
+
 def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
                    sub_struct: Structure, dmap: DensityGrid,
                    resolution: float, cfg: MadConfig, n_copies: int = 1,
@@ -111,6 +385,14 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     """
     import os as _os
     from .. import cache as _cache
+
+    if (mesh is None and not match_cache
+            and _os.environ.get("MAD_TPU_FUSED_DOCK", "1") != "0"):
+        # Default single-device path: the post-similarity chain fuses into
+        # one dispatch per round and the refinement chains on device.
+        return _dock_structure_fused(map_set, sub_set, sub_struct, dmap,
+                                     resolution, cfg, n_copies, verbose,
+                                     on_filtered)
 
     n_samples = cfg.filter.n_samples * n_copies
 
@@ -188,15 +470,4 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     # CC-score the unique poses in one batched simulate + CCC program (CCC
     # values are order-independent, so scoring after the merge matches the
     # reference's interleaved computation, mad/MaD.py:598-618).
-    if solutions:
-        with stage("solution_ccc"):
-            coords_b = np.stack([s.structure.coords for s in solutions])
-            cccs = ccc_structures(dmap, coords_b, sub_struct.masses,
-                                  resolution, shape_bucket=cfg.shape_bucket)
-        for s, c in zip(solutions, cccs):
-            s.ccc = float(c)
-
-    for s in solutions:
-        s.score = s.repeat * s.weight * s.ccc
-    solutions.sort(key=lambda s: s.score, reverse=True)
-    return solutions
+    return _finalize_solutions(solutions, sub_struct, dmap, resolution, cfg)

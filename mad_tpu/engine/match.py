@@ -91,9 +91,7 @@ def _compiled_similarity(dh: int, dl: int, row_cap: int, max_pairs: int,
     return jax.jit(run)
 
 
-@functools.lru_cache(maxsize=16)
-@warmable
-def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
+def _field_body(shape: Tuple[int, int, int], radius_vox: int):
     """Occupancy-of-map-anchors field dilated by a voxel sphere.
 
     Dilation = shift-OR over the sphere's voxel offsets (fused slice maxima
@@ -116,7 +114,13 @@ def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
             out = sl if out is None else jnp.maximum(out, sl)
         return (out > 0.5).astype(jnp.int8)
 
-    return jax.jit(build)
+    return build
+
+
+@functools.lru_cache(maxsize=16)
+@warmable
+def _compiled_field(shape: Tuple[int, int, int], radius_vox: int):
+    return jax.jit(_field_body(shape, radius_vox))
 
 
 def _approx_repeat_body(shape: Tuple[int, int, int], chunk: int):
@@ -244,23 +248,14 @@ def _compiled_select_exact(p: int, pe: int):
     return jax.jit(run)
 
 
-def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
-                      grid_shape, grid_origin, voxsp: float,
-                      cfg: MatchConfig, min_exact: int = 0,
-                      mesh: Optional[Mesh] = None) -> MatchTable:
-    """hi = subunit, lo = map (reference naming, mad/MaD.py:414).
-
-    min_exact: clustering consumes the top pairs strictly by repeatability
-    (mad/MaD.py:480), so the caller passes how many leading pairs its
-    downstream ordering depends on; at least that many get exact NN
-    re-scoring (raising cfg.exact_top when needed) so the consumed prefix is
-    never approximate.
-
-    mesh: optional device mesh. The similarity matmul runs with the subunit
-    rows sharded across devices (GSPMD partitions the SAME compiled kernel;
-    per-row top_k is shard-local, the global top-k reduces over ICI) and the
-    repeatability kernels run shard_map'ed over the pair axis. Results equal
-    the single-device path (up to ties between equal similarities)."""
+def match_pairs(map_set: DescriptorSet, sub_set: DescriptorSet,
+                cfg: MatchConfig, mesh: Optional[Mesh] = None
+                ) -> Optional[dict]:
+    """Similarity stage shared by the split and fused docking paths: MXU
+    cosine matmul + thresholded top-pair selection (ONE host pull), then the
+    host-side pose data every consumer needs — per-pair rotation
+    R = R_lo^T R_hi, anchor coords, and the unique anchor clouds
+    (mad/MaD.py:414-438). Returns None when no pair clears the threshold."""
     dh = batch_bucket(max(sub_set.n, 128), 128, mesh)
     dl = bucket(max(map_set.n, 128), 128)
 
@@ -293,11 +288,7 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     ok = ok & (rows < sub_set.n) & (cols < map_set.n)
     keep = np.nonzero(ok)[0]
     if len(keep) == 0:
-        e = np.zeros(0)
-        e3 = np.zeros((0, 3))
-        return MatchTable(cc=e, repeat=e, hi_idx=e.astype(int),
-                          lo_idx=e.astype(int), rot=np.zeros((0, 3, 3)),
-                          hi_coord=e3, lo_coord=e3, hi_cloud=e3, lo_cloud=e3)
+        return None
     ccs, rows, cols = ccs[keep], rows[keep], cols[keep]
 
     # Unique anchor clouds from matched descriptors (mad/MaD.py:427-428).
@@ -310,6 +301,42 @@ def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
     rot = np.einsum("pji,pjk->pik", r_lo, r_hi)  # R_lo^T @ R_hi
     hi_coord = sub_set.subv_coords[rows]
     lo_coord = map_set.subv_coords[cols]
+    return dict(ccs=ccs, rows=rows, cols=cols, rot=rot, hi_coord=hi_coord,
+                lo_coord=lo_coord, hi_cloud=hi_cloud, lo_cloud=lo_cloud)
+
+
+def _empty_table() -> MatchTable:
+    e = np.zeros(0)
+    e3 = np.zeros((0, 3))
+    return MatchTable(cc=e, repeat=e, hi_idx=e.astype(int),
+                      lo_idx=e.astype(int), rot=np.zeros((0, 3, 3)),
+                      hi_coord=e3, lo_coord=e3, hi_cloud=e3, lo_cloud=e3)
+
+
+def match_descriptors(map_set: DescriptorSet, sub_set: DescriptorSet,
+                      grid_shape, grid_origin, voxsp: float,
+                      cfg: MatchConfig, min_exact: int = 0,
+                      mesh: Optional[Mesh] = None) -> MatchTable:
+    """hi = subunit, lo = map (reference naming, mad/MaD.py:414).
+
+    min_exact: clustering consumes the top pairs strictly by repeatability
+    (mad/MaD.py:480), so the caller passes how many leading pairs its
+    downstream ordering depends on; at least that many get exact NN
+    re-scoring (raising cfg.exact_top when needed) so the consumed prefix is
+    never approximate.
+
+    mesh: optional device mesh. The similarity matmul runs with the subunit
+    rows sharded across devices (GSPMD partitions the SAME compiled kernel;
+    per-row top_k is shard-local, the global top-k reduces over ICI) and the
+    repeatability kernels run shard_map'ed over the pair axis. Results equal
+    the single-device path (up to ties between equal similarities)."""
+    pairs = match_pairs(map_set, sub_set, cfg, mesh)
+    if pairs is None:
+        return _empty_table()
+    ccs, rows, cols = pairs["ccs"], pairs["rows"], pairs["cols"]
+    rot, hi_coord, lo_coord = (pairs["rot"], pairs["hi_coord"],
+                               pairs["lo_coord"])
+    hi_cloud, lo_cloud = pairs["hi_cloud"], pairs["lo_cloud"]
 
     def put(arr, *spec):
         a = jnp.asarray(arr)

@@ -154,7 +154,8 @@ def _compiled_octave_chain(dims: tuple, sig_init: float, sig_presmooth: float,
                            max_main: int, max_sec: int, ori_cutoff: float,
                            gw_sig: float, subeqsp_size: int, subregions: int,
                            dsc_cutoff: float, zero_magn: float, lane_cap: int,
-                           dsc_radius: int = 0, donate: bool = False):
+                           dsc_radius: int = 0, donate: bool = False,
+                           nan_watch: bool = False):
     """ONE program for a whole octave: LoG + detection + anchor compaction
     -> gradient field -> orientation + lane compaction -> descriptors.
 
@@ -187,9 +188,15 @@ def _compiled_octave_chain(dims: tuple, sig_init: float, sig_presmooth: float,
         (mains, secs, rfin_l, lane_ok, lane_anchor, lane_main, lane_sec,
          coords_l, n_valid) = ofu(gradf, coords_c, valid_c)
         descs, ok = db(gradf, coords_l, rfin_l, lane_ok)
-        return (descs, (n_anch, n_valid),
-                (ok & lane_ok, lane_anchor, lane_main, lane_sec, coords_l,
-                 rfin_l, subvox, mains, secs, order_a))
+        out = (descs, (n_anch, n_valid),
+               (ok & lane_ok, lane_anchor, lane_main, lane_sec, coords_l,
+                rfin_l, subvox, mains, secs, order_a))
+        if nan_watch:
+            # Stage-mode sanitizer: the gradient field never leaves the
+            # fused program, so its finiteness flag rides along instead
+            # (utils/sanitize.watch_flag).
+            return out + (jnp.all(jnp.isfinite(gradf)),)
+        return out
 
     return jax.jit(chain, donate_argnums=(0,) if donate else ())
 
@@ -314,6 +321,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                 dims_vox = 1
                 for s in dims_a:
                     dims_vox *= int(s)
+                nan_watch = sanitize.mode() == "stage"
                 fn = _compiled_octave_chain(
                     tuple(dims_a), float(s_i), float(s_p), bool(up_a),
                     float(tr), tuple(octv.real_shape),
@@ -328,8 +336,14 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                     float(cfg.describe.zero_magn), int(lane_cap),
                     dsc_radius=int(dsc_radius),
                     donate=bool(getattr(octv, "_final", False)
-                                and dims_vox > 8_000_000))
-                descs, counts_d, dev = fn(octv._data)
+                                and dims_vox > 8_000_000),
+                    nan_watch=nan_watch)
+                if nan_watch:
+                    descs, counts_d, dev, grad_ok = fn(octv._data)
+                    sanitize.watch(f"detect[o{oi}]", dev[6])   # subvox
+                    sanitize.watch_flag(f"scalespace.grad[o{oi}]", grad_ok)
+                else:
+                    descs, counts_d, dev = fn(octv._data)
                 sanitize.watch(f"describe[o{oi}]", descs)
             pending.append(dict(
                 oi=oi, voxsp=octv.voxsp, origin=origin, base=anchor_base,

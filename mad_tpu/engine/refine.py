@@ -54,6 +54,8 @@ class RefineResult:
     failed: np.ndarray = None # (C,) bool: numerical failure (NaN guard,
                               # parity: mad/structure_utils.py:97-98 returns
                               # NaN and aborts that candidate)
+    extra: tuple = None       # caller arrays pulled in the consolidated
+                              # device_get (fused dock bookkeeping)
 
 
 @functools.lru_cache(maxsize=16)
@@ -202,7 +204,9 @@ def _compiled_refine_compact(c: int, c2: int, n: int):
 
 
 def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
-                      cfg: RefineConfig, mesh: "Mesh" = None) -> RefineResult:
+                      cfg: RefineConfig, mesh: "Mesh" = None, *,
+                      device_starts=None, n_atoms: int = 0, frozen0=None,
+                      extra=None) -> RefineResult:
     """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms.
 
     Single-device runs are SEGMENTED: after ``segment_steps`` steps the
@@ -214,15 +218,30 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
 
     mesh: optional device mesh; candidates shard across devices (each pose
     refinement is an independent scan), map replicated; segmentation is
-    disabled (per-lane waste is distributed over the mesh)."""
-    c_real, n_real = start_coords.shape[:2]
-    c = batch_bucket(max(c_real, 4), 4, mesh)
-    n = bucket(n_real, 256)
-    y0 = np.zeros((c, n, 3), dtype=np.float32)
-    y0[:c_real, :n_real] = start_coords
-    y0[:c_real, n_real:] = start_coords[:, :1]  # padded atoms masked out
-    if c != c_real:
-        y0[c_real:] = y0[0]
+    disabled (per-lane waste is distributed over the mesh).
+
+    device_starts: fused-dock path — an already-framed (C, N, 3) DEVICE
+    array of start poses (atom padding included); ``n_atoms`` gives the
+    real atom count and ``frozen0`` an optional (C,) device mask of lanes
+    frozen from step 0 (non-candidate padding lanes). No start coords
+    cross the host boundary; the program chains onto the producing
+    dispatch. ``extra``: arbitrary device arrays pulled alongside the
+    refinement results in the one consolidated device_get (returned as
+    ``RefineResult.extra``)."""
+    if device_starts is not None:
+        c = c_real = int(device_starts.shape[0])
+        n = int(device_starts.shape[1])
+        n_real = int(n_atoms)
+        y0 = None
+    else:
+        c_real, n_real = start_coords.shape[:2]
+        c = batch_bucket(max(c_real, 4), 4, mesh)
+        n = bucket(n_real, 256)
+        y0 = np.zeros((c, n, 3), dtype=np.float32)
+        y0[:c_real, :n_real] = start_coords
+        y0[:c_real, n_real:] = start_coords[:, :1]  # padded atoms masked out
+        if c != c_real:
+            y0[c_real:] = y0[0]
     atom_valid = np.zeros(n, dtype=bool)
     atom_valid[:n_real] = True
 
@@ -248,7 +267,10 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         map_d = dmap.device()
         # Segmented runs keep y0 on device: the inter-segment compaction
         # gathers from it without a host round trip.
-        y0_d = jnp.asarray(y0) if segmented else y0
+        if device_starts is not None:
+            y0_d = device_starts
+        else:
+            y0_d = jnp.asarray(y0) if segmented else y0
         if mesh is not None:
             ax = mesh_axis(mesh)
             y0_d = jax.device_put(jnp.asarray(y0),
@@ -258,11 +280,13 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         voxsp = np.float32(dmap.voxsp)
 
     def init_state(yy, cc):
+        fz = (frozen0 if frozen0 is not None and cc == c
+              else np.zeros((cc,), dtype=bool))
         return (np.zeros((cc, 3), np.float32),
                 np.broadcast_to(np.eye(3, dtype=np.float32),
                                 (cc, 3, 3)).copy(),
                 np.full((cc,), cfg.max_step, np.float32), yy,
-                np.zeros((cc,), dtype=bool), np.zeros((cc,), dtype=bool),
+                fz, np.zeros((cc,), dtype=bool),
                 np.zeros((cc,), np.int32))
 
     stop1 = seg if segmented else cfg.n_steps
@@ -293,7 +317,9 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         # One consolidated pull of both segments' results.
         with stage("refine.pull"):
             pulled = jax.device_get(
-                ((rot_d, trans_d, coords_d, steps_d, failed_d), out2))
+                ((rot_d, trans_d, coords_d, steps_d, failed_d), out2,
+                 extra))
+        extra_h = pulled[2]
         (rot, trans, coords, steps, failed) = [np.array(a)
                                                for a in pulled[0]]
         if out2 is not None:
@@ -311,12 +337,14 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
         # One consolidated pull: every np.asarray would be its own ~100 ms
         # round trip through the tunneled host relay.
         with stage("refine.pull"):
+            out_h, extra_h = jax.device_get((out, extra))
             (rot, trans, coords, frozen, steps, failed, _ssize,
-             _prev) = jax.device_get(out)
+             _prev) = out_h
     return RefineResult(
         rot=rot[:c_real],
         trans=trans[:c_real],
         coords=coords[:c_real, :n_real].astype(np.float64),
         converged=frozen[:c_real],
         steps=steps[:c_real],
-        failed=failed[:c_real])
+        failed=failed[:c_real],
+        extra=extra_h)

@@ -52,6 +52,15 @@ def watch(stage_name: str, *arrays) -> None:
             a.astype(jnp.float32)))))
 
 
+def watch_flag(stage_name: str, flag) -> None:
+    """Queue a precomputed all-finite flag (stage mode only) — for arrays
+    that never leave a fused program, whose finiteness reduction rides
+    along as an extra program output (engine/pipeline fused octave)."""
+    if mode() != "stage":
+        return
+    _pending.append((stage_name, flag))
+
+
 def flush() -> None:
     """Drain queued checks in ONE device_get; raise naming the first stage
     that produced non-finite values. No-op when nothing is queued."""

@@ -220,3 +220,55 @@ def test_homomultimer_device_head_multi_chunk():
     order = np.argsort(mx_f, kind="stable")
     np.testing.assert_array_equal(t_dev, t_full[order][:16])
     np.testing.assert_allclose(mx_dev, mx_f[order][:16], atol=1e-6)
+
+
+def _defer_wrap(ov, m_pad):
+    """Wrap a host triu overlap matrix as the device DeferredOverlap that
+    solution_overlap(defer=True) would return (padded frame)."""
+    import jax.numpy as jnp
+    n = ov.shape[0]
+    padded = np.zeros((m_pad, m_pad), np.float32)
+    padded[:n, :n] = ov
+    return asm.DeferredOverlap(dev=jnp.asarray(padded), n=n)
+
+
+def test_solution_overlap_deferred(solutions):
+    cfg = AssemblyConfig()
+    host = asm.solution_overlap(solutions, cfg)
+    deferred = asm.solution_overlap(solutions, cfg, defer=True)
+    assert isinstance(deferred, asm.DeferredOverlap)
+    np.testing.assert_allclose(deferred.host(), host, atol=1e-7)
+
+
+def test_homomultimer_deferred_matches_host():
+    """A DeferredOverlap chains into the device unranking head (no
+    intermediate pull) and returns the same ranking as the host-matrix
+    path — including through the trim logic."""
+    rng = np.random.default_rng(7)
+    n_sol, k = 14, 6
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.3, k=1)
+    t_h, s_h, sd_h, mx_h = asm.enumerate_homomultimer(n_sol, k, ov, head=32)
+    t_d, s_d, sd_d, mx_d = asm.enumerate_homomultimer(
+        n_sol, k, _defer_wrap(ov, 16), head=32)
+    np.testing.assert_array_equal(t_d, t_h)
+    np.testing.assert_allclose(s_d, s_h, atol=1e-6)
+    np.testing.assert_allclose(mx_d, mx_h, atol=1e-6)
+    # host-path fallback (small combination count) pulls and matches too
+    t_h2, s_h2, _sd, mx_h2 = asm.enumerate_homomultimer(6, 4, ov[:6, :6])
+    t_d2, s_d2, _sd, mx_d2 = asm.enumerate_homomultimer(
+        6, 4, _defer_wrap(ov[:6, :6], 8))
+    np.testing.assert_array_equal(t_d2, t_h2)
+    np.testing.assert_allclose(mx_d2, mx_h2, atol=1e-6)
+
+
+def test_heteromer_deferred_matches_host():
+    rng = np.random.default_rng(11)
+    n_sol = 4 * 8
+    ov = np.triu(rng.random((n_sol, n_sol)) * 0.2, k=1)
+    groups = {f"s{g}": list(range(g * 8, (g + 1) * 8)) for g in range(4)}
+    t_h, s_h, sd_h, mx_h = asm.enumerate_heteromer(groups, ov, head=64)
+    t_d, s_d, sd_d, mx_d = asm.enumerate_heteromer(
+        groups, _defer_wrap(ov, 40), head=64)
+    np.testing.assert_array_equal(t_d, t_h)
+    np.testing.assert_allclose(s_d, s_h, atol=1e-5)
+    np.testing.assert_allclose(mx_d, mx_h, atol=1e-6)
