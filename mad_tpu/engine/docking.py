@@ -21,7 +21,7 @@ from ..core.geometry import kabsch_np
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from .score import ccc_structures
-from .pipeline import DescriptorSet, _frames_get, _frames_put
+from .pipeline import DescriptorSet, _frames_adopt, _frames_put
 from .match import (match_descriptors, match_pairs, exact_rescore,
                     MatchTable, _pad_rows)
 from .cluster import filter_pairs, Candidate
@@ -172,9 +172,12 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     # Candidate-lane frame: remembered per structure pair (the measured
     # cluster counts are deterministic per system), 16-granular; an
     # overflow redoes the refinement through the host path this call and
-    # right-sizes the NEXT process (pipeline frame-memory pattern).
+    # right-sizes the NEXT process (pipeline frame-memory pattern). The
+    # frame is ADOPTED once per process — a rung written at the end of one
+    # pass must not change the next pass's program shapes (that recompile
+    # is a multi-minute deferred compile on remote-compile backends).
     cap_key = f"dockc|{map_set.name}|{sub_set.name}"
-    c_cap = (_frames_get(cap_key) or (48,))[0]
+    c_cap = _frames_adopt(cap_key, (48,))[0]
     c_cap = int(min(max(c_cap, 16), n_scan))
     nb = bucket(sub_struct.n_atoms, 256)
     n_atoms = sub_struct.n_atoms

@@ -40,6 +40,29 @@ import functools as _functools
 
 _frame_lock = __import__("threading").Lock()
 _frame_mem: Optional[dict] = None
+# Frames ADOPTED by this process, keyed like the persistent memory. A
+# frame-memory update written mid-process (right-sizing at the end of a
+# pass) must only affect the NEXT process: adopting it mid-process would
+# recompile the whole chain at the new frame on the very next pass — a
+# multi-minute deferred compile on remote-compile backends, paid inside
+# what should be a warm pass.
+_frame_adopted: dict = {}
+
+
+def _frames_adopt(key: str, default):
+    """The frame this process uses for ``key``: first call resolves from
+    the persistent memory (or ``default``) and pins it for the process."""
+    with _frame_lock:
+        if key not in _frame_adopted:
+            _frame_adopted[key] = _frames_load().get(key) or tuple(default)
+        return _frame_adopted[key]
+
+
+def _frames_repin(key: str, caps) -> None:
+    """Re-pin the process-local frame (overflow redos compile the larger
+    frame anyway, so later calls should keep using it)."""
+    with _frame_lock:
+        _frame_adopted[key] = tuple(int(c) for c in caps)
 
 
 def _frame_path() -> str:
@@ -265,11 +288,14 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
     full_l = min(bucket(cfg.describe.max_descriptors, 128),
                  full_k * cfg.orient.max_main * cfg.orient.max_sec)
     frame_key = f"{name or grid.name}|{tuple(grid.shape)}"
-    spec_k, lane_cap = (
-        _caps
-        or (None if mesh is not None else _frames_get(frame_key))
-        or (min(512, full_k),
-            min(bucket(cfg.describe.static_lanes, 128), full_l)))
+    default = (min(512, full_k),
+               min(bucket(cfg.describe.static_lanes, 128), full_l))
+    if _caps is not None:
+        spec_k, lane_cap = _caps
+    elif mesh is not None:
+        spec_k, lane_cap = default
+    else:
+        spec_k, lane_cap = _frames_adopt(frame_key, default)
     spec_k, lane_cap = min(spec_k, full_k), min(lane_cap, full_l)
     radius = (cfg.orient.patch_size - cfg.orient.patch_size % 2) // 2
 
@@ -416,9 +442,11 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             if new_k <= spec_k and new_l <= lane_cap:   # safety: must grow
                 new_k, new_l = full_k, full_l
             _frames_put(frame_key, (new_k, new_l))
-            return describe_grid(grid, cfg, name=name,
-                                 _caps=(max(new_k, spec_k),
-                                        max(new_l, lane_cap)))
+            redo = (max(new_k, spec_k), max(new_l, lane_cap))
+            # The redo compiles the larger frame now; keep using it for the
+            # rest of the process (mid-process shrink = fresh compile).
+            _frames_repin(frame_key, redo)
+            return describe_grid(grid, cfg, name=name, _caps=redo)
         if _caps is None:
             # Remember the right-sized rung (shrinks oversized defaults for
             # small structures, e.g. a subunit at the 2048-lane default).

@@ -104,7 +104,7 @@ def test_fused_candidate_frame_overflow(monkeypatch, trimer):
         rmsd_cloud=2.0, rescue_rounds=0))
 
     put = {}
-    monkeypatch.setattr(dk, "_frames_get", lambda key: (16,))
+    monkeypatch.setattr(dk, "_frames_adopt", lambda key, default: (16,))
     monkeypatch.setattr(dk, "_frames_put",
                         lambda key, caps: put.setdefault(key, caps))
     split, fused, pre = _dock_both(monkeypatch, cfg, sub, dmap, map_dsc,
@@ -113,6 +113,24 @@ def test_fused_candidate_frame_overflow(monkeypatch, trimer):
     _assert_equal(split, fused, pre)
     (key, caps), = put.items()
     assert caps[0] > 16
+
+
+def test_dock_frame_pinned_for_process(monkeypatch, tmp_path):
+    """A candidate-frame rung written at the end of one pass must NOT
+    change the frame later passes adopt — a mid-process frame change means
+    recompiling the dock-select + refinement chain on a warm pass."""
+    from mad_tpu.engine import pipeline as pl
+
+    monkeypatch.setenv("MAD_TPU_CACHE", str(tmp_path))
+    monkeypatch.setattr(pl, "_frame_mem", None)
+    monkeypatch.setattr(pl, "_frame_adopted", {})
+    key = "dockc|pinned|sub"
+    assert pl._frames_adopt(key, (48,)) == (48,)
+    pl._frames_put(key, (64,))                 # end-of-pass right-sizing
+    assert pl._frames_adopt(key, (48,)) == (48,)   # pass 2: unchanged
+    # ... but a fresh process (fresh adoption state) picks up the rung.
+    monkeypatch.setattr(pl, "_frame_adopted", {})
+    assert pl._frames_adopt(key, (48,)) == (64,)
 
 
 def test_fused_no_pairs(monkeypatch, trimer):

@@ -90,6 +90,7 @@ def test_overflow_redo_uses_rung_not_full(system, tmp_path, monkeypatch):
     cfg, dmap = system
     monkeypatch.setenv("MAD_TPU_CACHE", str(tmp_path))
     monkeypatch.setattr(pl, "_frame_mem", None)
+    monkeypatch.setattr(pl, "_frame_adopted", {})
     # Tiny speculative lane frame: every octave overflows it.
     small = dataclasses.replace(cfg.describe, static_lanes=128)
     cfg_small = cfg.replace(describe=small)
