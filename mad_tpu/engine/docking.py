@@ -179,6 +179,11 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     cap_key = f"dockc|{map_set.name}|{sub_set.name}"
     c_cap = _frames_adopt(cap_key, (48,))[0]
     c_cap = int(min(max(c_cap, 16), n_scan))
+    # Rescue rounds carry far fewer candidates (unexplained-density pairs
+    # only) and the refinement's gather cost scales linearly with the lane
+    # frame, so they get their own, smaller frame.
+    rcap_key = f"dockr|{map_set.name}|{sub_set.name}"
+    r_cap = int(min(max(_frames_adopt(rcap_key, (16,))[0], 8), n_scan))
     nb = bucket(sub_struct.n_atoms, 256)
     n_atoms = sub_struct.n_atoms
     x0p = np.concatenate([
@@ -270,6 +275,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                            dmap, table, cfg)
 
     # Rescue rounds (same semantics as the split path below).
+    rcap_needed = 0
     best_repeat = float(table.repeat[0]) if table.n else 0.0
     for _ in range(max(0, int(fc.rescue_rounds))):
         if not solutions:
@@ -289,7 +295,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         lc_e = _pad_rows(table.lo_coord[top].astype(np.float32), pe_r)
         with stage("rescue.rescore"):
             r_fn = _compiled_rescue_select(
-                a_hi, a_lo, pe_r, n_scan_r, c_cap, nb,
+                a_hi, a_lo, pe_r, n_scan_r, r_cap, nb,
                 float(mc.anchor_dist), float(fc.rmsd_cloud),
                 int(fc.weight_threshold), float(fc.min_repeat),
                 float(fc.repeat_frac))
@@ -305,7 +311,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         (order_r, assign_r, found_r, weights_r, gate_r, cand_order_r,
          n_cands_r, erep_r) = res_r.extra
         n_cands_r = int(n_cands_r)
-        cap_needed = max(cap_needed, n_cands_r)
+        rcap_needed = max(rcap_needed, n_cands_r)
         o_r = np.asarray(order_r)[: len(top)]
         sub_table = table.take(top[o_r],
                                repeat=np.asarray(erep_r)[o_r])
@@ -313,7 +319,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
             break
         sub_hi = sub_set.main_bin[sub_table.hi_idx]
         sub_lo = map_set.main_bin[sub_table.lo_idx]
-        if n_cands_r > c_cap:
+        if n_cands_r > r_cap:
             slots = np.nonzero(np.asarray(gate_r))[0]
             score = (sub_table.repeat[np.asarray(found_r)[slots]]
                      * np.asarray(weights_r)[slots])
@@ -342,12 +348,17 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         if n_new == 0:
             break
 
-    # Remember the right-sized candidate frame for future processes (not
+    # Remember the right-sized candidate frames for future processes (not
     # adopted mid-process: a new frame would mean a cold compile mid-run).
     desired = int(min(max(16, -(-int(cap_needed * 1.25 + 4) // 16) * 16),
                       n_scan))
     if desired != c_cap:
         _frames_put(cap_key, (desired,))
+    if rcap_needed:
+        r_desired = int(min(max(8, -(-int(rcap_needed * 1.5 + 2) // 8) * 8),
+                            n_scan))
+        if r_desired != r_cap:
+            _frames_put(rcap_key, (r_desired,))
 
     return _finalize_solutions(solutions, sub_struct, dmap, resolution, cfg)
 
