@@ -187,6 +187,152 @@ def _compiled_rescue_select(a_hi: int, a_lo: int, pe: int, n_scan: int,
     return jax.jit(run)
 
 
+@functools.lru_cache(maxsize=16)
+@warmable
+def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
+                        a_lo: int, pe_r: int, n_scan_r: int, r_cap: int,
+                        anchor_dist: float, rmsd_cloud: float, wthresh: int,
+                        min_repeat: float, repeat_frac: float,
+                        dedup_rmsd: float, hit_thresh: float):
+    """Post-refinement program: chains the inter-round host work of a dock
+    rescue round onto the refinement's device outputs, so the main round's
+    results never cross the host boundary before the rescue refinement
+    dispatches. One dispatch covers:
+
+      * composed refined pose per candidate lane (start pose x refinement
+        rot/trans — the same composition the host computes in
+        engine/docking._merge_refined; f32 here vs f64 there, a drift far
+        below the inter-path pose differences the dock equality tests
+        already absorb);
+      * post-refine repeatability re-score: nearest map anchor per
+        transformed subunit anchor (matmul-expansion argmin + a direct-
+        difference distance recompute for the winner, killing the
+        expansion's ~1e-3 A cancellation error; d <= voxsp*1.5 hit rule
+        of mad/MaD.py:580-590);
+      * greedy CA-RMSD dedup of the refined lanes in candidate order
+      (merge-into-closest-accepted semantics of _merge_refined);
+      * rescue eligibility: map anchors farther than anchor_dist from every
+        accepted lane's atoms (the reference-extending rescue protocol,
+        engine/docking docstring), ranked in table order;
+      * the rescue round's exact re-score + ordering + clustering +
+        refinement start poses (_compiled_rescue_select semantics).
+
+    Returns bookkeeping for the host to rebuild Solution records after the
+    ONE consolidated pull that follows the rescue refinement."""
+    eb = _exact_repeat_body(16, anchor_dist)
+    cs = _cluster_select_body(pe_r, n_scan_r, r_cap, nb, rmsd_cloud,
+                              wthresh, min_repeat, repeat_frac)
+    lane_ids = np.arange(c_cap)
+    pos_ids = np.arange(p)
+    eye = np.eye(3, dtype=np.float32)
+
+    def run(rot_m, trans_m, coords_m, failed_m,
+            order, found_i, cand_order, n_cands, rep_full,
+            rot_p, hc_p, lc_p, hi_cloud, hi_valid, lo_cloud, lo_valid,
+            atom_valid, ca_mask, n_pairs, n_top_cap, mu, M, x0):
+        # Composed pose per lane: refine ran on y0 = (x0 - hi) @ Rc^T + lo,
+        # so coords = x0 @ (Rc^T rot) + ((b - center) rot + center + trans)
+        # — the same composition formula the host path evaluates in f64
+        # (_merge_refined).
+        oi = order[:n_scan]
+        rows_c = oi[found_i[cand_order]]
+        A = jnp.swapaxes(rot_p[rows_c], 1, 2)
+        b = lc_p[rows_c] - jnp.einsum("cd,cde->ce", hc_p[rows_c], A)
+        av = atom_valid.astype(jnp.float32)
+        n_at = jnp.maximum(jnp.sum(av), 1.0)
+        y0c = jnp.einsum("nd,cde->cne", x0, A) + b[:, None]
+        center = (jnp.sum(y0c * av[None, :, None], axis=1)
+                  / n_at)                                       # (C, 3)
+        Rb = jnp.einsum("cij,cjk->cik", A, rot_m)
+        Tb = (jnp.einsum("cd,cde->ce", b - center, rot_m) + center
+              + trans_m)
+        s_a = (jnp.einsum("ad,cde->cae", hi_cloud, Rb)
+               + Tb[:, None])                                   # (C, A, 3)
+
+        # Repeatability re-score: matmul-expansion argmin (MXU), then a
+        # direct-difference distance recompute for the winning pair — the
+        # expansion loses ~1e-3 A to cancellation at map-coordinate
+        # magnitudes; the recomputed distance is exact f32.
+        lo_sq = jnp.sum(lo_cloud * lo_cloud, axis=-1)
+
+        def lane_rescore(s):
+            d2 = (jnp.sum(s * s, -1)[:, None] + lo_sq[None]
+                  - 2.0 * s @ lo_cloud.T)
+            d2 = jnp.where(lo_valid[None], d2, jnp.inf)
+            nn = jnp.argmin(d2, axis=-1)
+            dif = s - lo_cloud[nn]
+            return jnp.sum(dif * dif, -1) <= jnp.float32(hit_thresh) ** 2
+
+        hits = lax.map(lane_rescore, s_a) & hi_valid[None]
+        counts = jnp.sum(hits, axis=-1).astype(jnp.int32)
+
+        # Greedy CA-RMSD dedup in candidate order (_merge_refined):
+        # merge a lane into the closest already-accepted lane when the CA
+        # RMSD is below dedup_rmsd; otherwise it founds a new solution.
+        ca = (ca_mask & atom_valid).astype(jnp.float32)
+        n_ca = jnp.maximum(jnp.sum(ca), 1.0)
+
+        def rmsd_row(ci):
+            d = coords_m - ci[None]
+            return jnp.sqrt(jnp.sum(jnp.sum(d * d, -1) * ca[None], -1)
+                            / n_ca)
+
+        rmat = lax.map(rmsd_row, coords_m)                      # (C, C)
+        valid_lane = (lane_ids < n_cands) & (~failed_m) & (counts > 0)
+
+        def dedup_step(acc, i):
+            row = jnp.where(acc, rmat[i], jnp.inf)
+            j = jnp.argmin(row)
+            merged = jnp.any(acc) & (row[j] < jnp.float32(dedup_rmsd))
+            ok = valid_lane[i]
+            acc = acc.at[i].set(ok & ~merged)
+            return acc, jnp.where(ok & merged, j.astype(jnp.int32),
+                                  jnp.int32(-1))
+
+        accepted, merge_to = lax.scan(
+            dedup_step, jnp.zeros(c_cap, bool),
+            jnp.arange(c_cap, dtype=jnp.int32))
+        n_acc = jnp.sum(accepted.astype(jnp.int32))
+
+        # Rescue eligibility per table row: distance from the row's map
+        # anchor to the nearest accepted-lane atom (direct differences —
+        # no cancellation), strict > anchor_dist, table (repeat-desc)
+        # order.
+        lc_ord = lc_p[order]
+
+        def elig_step(best_d2, j):
+            d = lc_ord[:, None, :] - coords_m[j][None]
+            d2 = jnp.sum(d * d, -1)
+            d2 = jnp.where((atom_valid & accepted[j])[None], d2, jnp.inf)
+            return jnp.minimum(best_d2, jnp.min(d2, -1)), None
+
+        dmin2, _ = lax.scan(
+            elig_step, jnp.full(p, jnp.inf, jnp.float32),
+            jnp.arange(c_cap, dtype=jnp.int32))
+        elig = ((dmin2 > jnp.float32(anchor_dist) ** 2)
+                & (pos_ids < n_pairs) & (n_acc > 0))
+
+        # First n_top_cap eligible rows in table order -> rescue frame.
+        rank = jnp.cumsum(elig.astype(jnp.int32)) - 1
+        takeable = elig & (rank < n_top_cap)
+        n_top = jnp.sum(takeable.astype(jnp.int32))
+        key = jnp.where(takeable, pos_ids, p + 1)
+        top_rows = jnp.argsort(key)[:pe_r].astype(jnp.int32)
+        rows_r = order[top_rows]
+        rl = jnp.arange(pe_r)
+        ok_r = rl < n_top
+        rot_e = jnp.where(ok_r[:, None, None], rot_p[rows_r], eye)
+        hc_e = jnp.where(ok_r[:, None], hc_p[rows_r], 0.0)
+        lc_e = jnp.where(ok_r[:, None], lc_p[rows_r], 0.0)
+        erep = eb(hi_cloud, hi_valid, lo_cloud, lo_valid, rot_e, hc_e, lc_e)
+        sel_r, starts_r, frozen0_r = cs(erep, rot_e, hc_e, lc_e, n_top,
+                                        n_top, rep_full[order[0]], mu, M, x0)
+        post = (hits, counts, accepted, merge_to, n_acc, top_rows, n_top)
+        return post, sel_r, starts_r, frozen0_r
+
+    return jax.jit(run)
+
+
 def cloud_moments(hi_cloud: np.ndarray):
     """First/second moments of the (real) subunit anchor cloud, computed on
     host in f64 and passed to the device scan as f32 (engine/cluster)."""

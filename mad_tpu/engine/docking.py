@@ -17,7 +17,6 @@ import numpy as np
 from scipy.spatial import cKDTree
 
 from ..core.config import MadConfig, bucket
-from ..core.geometry import kabsch_np
 from ..core.grid import DensityGrid
 from ..core.structure import Structure
 from .score import ccc_structures
@@ -66,18 +65,25 @@ def _merge_refined(res, candidates: List[Candidate],
     """Post-refinement host half: Kabsch re-pose, repeatability re-score,
     CA-RMSD dedup + weight merge. ``res`` rows beyond ``candidates`` are
     padding lanes (fused path) and are ignored."""
-    x0 = sub_struct.coords
-    # Re-scored repeatability after refinement (mad/MaD.py:580-590):
-    # batched host Kabsch (C tiny 3x3 SVDs; device round trips would cost
-    # more than the math), then host NN queries.
-    Rb, Tb = kabsch_np(np.broadcast_to(x0, res.coords.shape), res.coords)
+    # Re-scored repeatability after refinement (mad/MaD.py:580-590). The
+    # refined map is the COMPOSITION of the candidate start pose with the
+    # refinement's rot/trans — f64 on the same f32 inputs the device twin
+    # (_compiled_dock_post) uses, so hit decisions cannot drift between
+    # the host and fused-post paths. (A Kabsch re-fit of the refined
+    # coordinates recovers the same transform up to f32 rounding.)
+    x032 = sub_struct.coords.astype(np.float32).astype(np.float64)
     lo_tree = cKDTree(table.lo_cloud)
     thresh = dmap.voxsp * 1.5
     refined: List[tuple] = []
     for i, cand in enumerate(candidates):
         if res.failed is not None and res.failed[i]:
             continue  # numerically failed candidate (NaN guard)
-        s_a = table.hi_cloud @ Rb[i] + Tb[i]
+        A = cand.rot.T.astype(np.float64)
+        b = cand.lo_coord - cand.hi_coord.astype(np.float64) @ A
+        center = (x032 @ A + b).mean(axis=0)
+        R = np.asarray(res.rot[i], dtype=np.float64)
+        t = np.asarray(res.trans[i], dtype=np.float64)
+        s_a = ((table.hi_cloud @ A + b) - center) @ R + center + t
         d, _ = lo_tree.query(s_a, distance_upper_bound=thresh)
         hits = d <= thresh
         repeat = 100.0 * np.count_nonzero(hits) / table.hi_cloud.shape[0]
@@ -127,20 +133,55 @@ def _candidates_from_select(table: MatchTable, hi_bins, lo_bins, assign,
     return cands
 
 
+def _merge_rescue_round(res_r, sub_table, map_set, sub_set, solutions,
+                        sub_struct, dmap, table, cfg, n_cands_r: int,
+                        r_cap: int, assign_r, found_r, weights_r, gate_r,
+                        cand_order_r) -> int:
+    """Merge one rescue round's refined candidates into ``solutions``
+    (shared by the device-chained round and the host-loop rounds).
+    Overflowing rounds re-rank every gated cluster on host and redo the
+    refinement through the split path; in-frame rounds consume the fused
+    refinement's lanes directly. Returns the number of new solutions."""
+    sub_hi = sub_set.main_bin[sub_table.hi_idx]
+    sub_lo = map_set.main_bin[sub_table.lo_idx]
+    if n_cands_r > r_cap:
+        slots = np.nonzero(gate_r)[0]
+        score = sub_table.repeat[found_r[slots]] * weights_r[slots]
+        slot_order = slots[np.argsort(-score, kind="stable")]
+        cands_r = _candidates_from_select(sub_table, sub_hi, sub_lo,
+                                          assign_r, found_r, weights_r,
+                                          slot_order)
+        return _refine_and_merge(cands_r, solutions, sub_struct, dmap,
+                                 table, cfg)
+    slot_order = cand_order_r[:n_cands_r]
+    cands_r = _candidates_from_select(sub_table, sub_hi, sub_lo, assign_r,
+                                      found_r, weights_r, slot_order)
+    res_slice = type(res_r)(
+        rot=res_r.rot[:n_cands_r], trans=res_r.trans[:n_cands_r],
+        coords=res_r.coords[:n_cands_r],
+        converged=(None if res_r.converged is None
+                   else res_r.converged[:n_cands_r]),
+        steps=res_r.steps[:n_cands_r], failed=res_r.failed[:n_cands_r])
+    return _merge_refined(res_slice, cands_r, solutions, sub_struct, dmap,
+                          table, cfg)
+
+
 def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                           sub_struct: Structure, dmap: DensityGrid,
                           resolution: float, cfg: MadConfig, n_copies: int,
                           verbose: bool, on_filtered) -> List[Solution]:
     """Single-device docking through the fused select programs: after the
     similarity pull, repeatability -> ordering -> clustering -> start poses
-    run as ONE dispatch per round and the refinement chains onto its device
-    outputs, so each round costs two host syncs (the refinement's segment
-    boundary + one consolidated pull) instead of four. Candidate and table
-    bookkeeping is reconstructed host-side from the consolidated pull;
-    results match the split path (engine/dock_fused docstring)."""
+    run as ONE dispatch and the refinement chains onto its device outputs.
+    With rescue rounds enabled, the first rescue round ALSO chains on
+    device (_compiled_dock_post: re-score + dedup + eligibility + rescue
+    selection + rescue refinement), so the whole two-round dock costs two
+    segment-boundary syncs plus ONE consolidated pull. Candidate and table
+    bookkeeping is reconstructed host-side from that pull; results match
+    the split path (engine/dock_fused docstring)."""
     import jax.numpy as jnp
-    from .dock_fused import (_compiled_dock_select, _compiled_rescue_select,
-                             cloud_moments)
+    from .dock_fused import (_compiled_dock_select, _compiled_dock_post,
+                             _compiled_rescue_select, cloud_moments)
 
     fc = cfg.filter
     mc = cfg.match
@@ -219,12 +260,54 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
             np.float32(1.0 / dmap.voxsp), rot_p, hc_p, lc_p,
             np.int32(n_pairs), np.int32(min(n_exact, n_pairs)),
             np.int32(min(n_samples, n_pairs)), mu, M, x0p)
+    use_post = int(fc.rescue_rounds) >= 1
     with stage("refine"):
         res = refine_candidates(dmap, None, cfg.refine,
                                 device_starts=starts, n_atoms=n_atoms,
-                                frozen0=frozen0, extra=sel)
-    (order, assign, found_i, weights, gate, cand_order, n_cands,
-     rep_full) = res.extra
+                                frozen0=frozen0,
+                                extra=None if use_post else sel,
+                                device_out=use_post)
+
+    main_h = post_h = sel_r_h = res_r = None
+    if use_post:
+        # Chain the inter-round work on device (_compiled_dock_post):
+        # post-refine re-score + dedup + rescue eligibility/selection run
+        # as one dispatch on the refinement's device outputs, and the
+        # rescue refinement follows with no host boundary in between. ONE
+        # consolidated pull then returns both rounds' results.
+        pe_r = bucket(max(n_samples, 64), 64)
+        atom_valid = np.zeros(nb, bool)
+        atom_valid[:n_atoms] = True
+        ca_mask = np.zeros(nb, bool)
+        if len(sub_struct.ca_idx):
+            ca_mask[sub_struct.ca_idx] = True
+        else:
+            ca_mask[:n_atoms] = True      # rmsd_ca_with all-atom fallback
+        with stage("rescue.rescore"):
+            post_fn = _compiled_dock_post(
+                p, n_scan, c_cap, nb, a_hi, a_lo, pe_r, pe_r, r_cap,
+                float(mc.anchor_dist), float(fc.rmsd_cloud),
+                int(fc.weight_threshold), float(fc.min_repeat),
+                float(fc.repeat_frac), float(cfg.refine.dedup_rmsd),
+                float(dmap.voxsp * 1.5))
+            post_d, sel_r_d, starts_r, frozen0_r = post_fn(
+                res.rot, res.trans, res.coords, res.failed,
+                sel[0], sel[2], sel[5], sel[6], sel[7],
+                rot_p, hc_p, lc_p, hi_cloud_p, hi_valid, lo_cloud_p,
+                lo_valid, atom_valid, ca_mask, np.int32(n_pairs),
+                np.int32(n_samples), mu, M, x0p)
+        with stage("refine"):
+            res_r = refine_candidates(
+                dmap, None, cfg.refine, device_starts=starts_r,
+                n_atoms=n_atoms, frozen0=frozen0_r,
+                extra=(sel, (res.rot, res.trans, res.coords, res.steps,
+                             res.failed), post_d, sel_r_d))
+        sel_h, main_h, post_h, sel_r_h = res_r.extra
+        (order, assign, found_i, weights, gate, cand_order, n_cands,
+         rep_full) = sel_h
+    else:
+        (order, assign, found_i, weights, gate, cand_order, n_cands,
+         rep_full) = res.extra
     sanitize.check_host("match.repeat", np.asarray(rep_full)[:n_pairs])
     n_cands = int(n_cands)
     cap_needed = n_cands
@@ -238,10 +321,71 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     lo_bins = map_set.main_bin[table.lo_idx]
 
     solutions: List[Solution] = []
+    rcap_needed = 0
+
+    def host_rescue_rounds(rounds: int) -> None:
+        """Rescue rounds through the separate select+refine programs (the
+        pre-post-fuse path): round 2+ of the fused flow, and every round
+        of the overflow fallback. Same semantics as the split path."""
+        nonlocal rcap_needed
+        best_repeat = float(table.repeat[0]) if table.n else 0.0
+        for _ in range(max(0, rounds)):
+            if not solutions:
+                break
+            atoms = np.concatenate([s.structure.coords for s in solutions])
+            d, _ = cKDTree(atoms).query(
+                table.lo_coord, distance_upper_bound=mc.anchor_dist)
+            elig = np.nonzero(d > mc.anchor_dist)[0]
+            if not len(elig):
+                break
+            top = elig[:n_samples]
+            pe_r = bucket(max(len(top), 64), 64)
+            n_scan_r = bucket(max(len(top), 64), 64)
+            rot_e = _pad_rows(table.rot[top].astype(np.float32), pe_r)
+            rot_e[len(top):] = np.eye(3)
+            hc_e = _pad_rows(table.hi_coord[top].astype(np.float32), pe_r)
+            lc_e = _pad_rows(table.lo_coord[top].astype(np.float32), pe_r)
+            with stage("rescue.rescore"):
+                r_fn = _compiled_rescue_select(
+                    a_hi, a_lo, pe_r, n_scan_r, r_cap, nb,
+                    float(mc.anchor_dist), float(fc.rmsd_cloud),
+                    int(fc.weight_threshold), float(fc.min_repeat),
+                    float(fc.repeat_frac))
+                sel_r, starts_r, frozen0_r = r_fn(
+                    hi_cloud_p, hi_valid, lo_cloud_p, lo_valid, rot_e,
+                    hc_e, lc_e, np.int32(len(top)),
+                    np.float32(best_repeat), mu, M, x0p)
+            with stage("refine"):
+                res_l = refine_candidates(dmap, None, cfg.refine,
+                                          device_starts=starts_r,
+                                          n_atoms=n_atoms,
+                                          frozen0=frozen0_r, extra=sel_r)
+            (order_r, assign_r, found_r, weights_r, gate_r, cand_order_r,
+             n_cands_r, erep_r) = res_l.extra
+            n_cands_r = int(n_cands_r)
+            rcap_needed = max(rcap_needed, n_cands_r)
+            if n_cands_r == 0:
+                break
+            o_r = np.asarray(order_r)[: len(top)]
+            sub_table = table.take(top[o_r],
+                                   repeat=np.asarray(erep_r)[o_r])
+            n_new = _merge_rescue_round(
+                res_l, sub_table, map_set, sub_set, solutions, sub_struct,
+                dmap, table, cfg, n_cands_r, r_cap,
+                np.asarray(assign_r), np.asarray(found_r),
+                np.asarray(weights_r), np.asarray(gate_r),
+                np.asarray(cand_order_r))
+            if verbose and n_new:
+                print(f"MaD> Rescue round: {n_new} additional solution(s) "
+                      "in unexplained density")
+            if n_new == 0:
+                break
+
     if n_cands > c_cap:
         # Frame overflow: every gated cluster, re-ranked on host, through
         # the split refine path (correct, one-off; the rung memory
-        # right-sizes the next process).
+        # right-sizes the next process). Any device post/rescue outputs
+        # covered only the truncated lane set and are discarded.
         slots = np.nonzero(np.asarray(gate))[0]
         score = (table.repeat[np.asarray(found_i)[slots]]
                  * np.asarray(weights)[slots])
@@ -256,6 +400,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         if candidates:
             _refine_and_merge(candidates, solutions, sub_struct, dmap,
                               table, cfg)
+        host_rescue_rounds(int(fc.rescue_rounds))
     else:
         slot_order = np.asarray(cand_order)[:n_cands]
         candidates = _candidates_from_select(
@@ -265,88 +410,82 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
             print(f"MaD> {len(candidates)} filtered pose candidates")
         if on_filtered is not None:
             on_filtered(candidates)
-        if candidates:
-            res_slice = type(res)(
-                rot=res.rot[:n_cands], trans=res.trans[:n_cands],
-                coords=res.coords[:n_cands],
-                converged=res.converged[:n_cands],
-                steps=res.steps[:n_cands], failed=res.failed[:n_cands])
-            _merge_refined(res_slice, candidates, solutions, sub_struct,
-                           dmap, table, cfg)
-
-    # Rescue rounds (same semantics as the split path below).
-    rcap_needed = 0
-    best_repeat = float(table.repeat[0]) if table.n else 0.0
-    for _ in range(max(0, int(fc.rescue_rounds))):
-        if not solutions:
-            break
-        atoms = np.concatenate([s.structure.coords for s in solutions])
-        d, _ = cKDTree(atoms).query(
-            table.lo_coord, distance_upper_bound=mc.anchor_dist)
-        elig = np.nonzero(d > mc.anchor_dist)[0]
-        if not len(elig):
-            break
-        top = elig[:n_samples]
-        pe_r = bucket(max(len(top), 64), 64)
-        n_scan_r = bucket(max(len(top), 64), 64)
-        rot_e = _pad_rows(table.rot[top].astype(np.float32), pe_r)
-        rot_e[len(top):] = np.eye(3)
-        hc_e = _pad_rows(table.hi_coord[top].astype(np.float32), pe_r)
-        lc_e = _pad_rows(table.lo_coord[top].astype(np.float32), pe_r)
-        with stage("rescue.rescore"):
-            r_fn = _compiled_rescue_select(
-                a_hi, a_lo, pe_r, n_scan_r, r_cap, nb,
-                float(mc.anchor_dist), float(fc.rmsd_cloud),
-                int(fc.weight_threshold), float(fc.min_repeat),
-                float(fc.repeat_frac))
-            sel_r, starts_r, frozen0_r = r_fn(
-                hi_cloud_p, hi_valid, lo_cloud_p, lo_valid, rot_e, hc_e,
-                lc_e, np.int32(len(top)), np.float32(best_repeat), mu, M,
-                x0p)
-        with stage("refine"):
-            res_r = refine_candidates(dmap, None, cfg.refine,
-                                      device_starts=starts_r,
-                                      n_atoms=n_atoms, frozen0=frozen0_r,
-                                      extra=sel_r)
-        (order_r, assign_r, found_r, weights_r, gate_r, cand_order_r,
-         n_cands_r, erep_r) = res_r.extra
-        n_cands_r = int(n_cands_r)
-        rcap_needed = max(rcap_needed, n_cands_r)
-        o_r = np.asarray(order_r)[: len(top)]
-        sub_table = table.take(top[o_r],
-                               repeat=np.asarray(erep_r)[o_r])
-        if n_cands_r == 0:
-            break
-        sub_hi = sub_set.main_bin[sub_table.hi_idx]
-        sub_lo = map_set.main_bin[sub_table.lo_idx]
-        if n_cands_r > r_cap:
-            slots = np.nonzero(np.asarray(gate_r))[0]
-            score = (sub_table.repeat[np.asarray(found_r)[slots]]
-                     * np.asarray(weights_r)[slots])
-            slot_order = slots[np.argsort(-score, kind="stable")]
-            cands_r = _candidates_from_select(
-                sub_table, sub_hi, sub_lo, np.asarray(assign_r),
-                np.asarray(found_r), np.asarray(weights_r), slot_order)
-            n_new = _refine_and_merge(cands_r, solutions, sub_struct, dmap,
-                                      table, cfg)
+        if not use_post:
+            if candidates:
+                res_slice = type(res)(
+                    rot=res.rot[:n_cands], trans=res.trans[:n_cands],
+                    coords=res.coords[:n_cands],
+                    converged=res.converged[:n_cands],
+                    steps=res.steps[:n_cands], failed=res.failed[:n_cands])
+                _merge_refined(res_slice, candidates, solutions, sub_struct,
+                               dmap, table, cfg)
+            host_rescue_rounds(int(fc.rescue_rounds))
         else:
-            slot_order = np.asarray(cand_order_r)[:n_cands_r]
-            cands_r = _candidates_from_select(
-                sub_table, sub_hi, sub_lo, np.asarray(assign_r),
-                np.asarray(found_r), np.asarray(weights_r), slot_order)
-            res_slice = type(res_r)(
-                rot=res_r.rot[:n_cands_r], trans=res_r.trans[:n_cands_r],
-                coords=res_r.coords[:n_cands_r],
-                converged=res_r.converged[:n_cands_r],
-                steps=res_r.steps[:n_cands_r],
-                failed=res_r.failed[:n_cands_r])
-            n_new = _merge_refined(res_slice, cands_r, solutions,
-                                   sub_struct, dmap, table, cfg)
-        if verbose and n_new:
-            print(f"MaD> Rescue round: {n_new} additional solution(s) in "
-                  "unexplained density")
-        if n_new == 0:
-            break
+            # Rebuild the main round's Solution records from the device
+            # post outputs (same data the host merge would have produced:
+            # accepted lanes found solutions in candidate order, merged
+            # lanes add their weight/members to their dedup target).
+            (hits_h, counts_h, accepted_h, merge_to_h, _n_acc, top_rows_h,
+             n_top_h) = post_h
+            counts_h = np.asarray(counts_h)
+            accepted_h = np.asarray(accepted_h)
+            merge_to_h = np.asarray(merge_to_h)
+            hits_h = np.asarray(hits_h)
+            rot_m = np.asarray(main_h[0])
+            trans_m = np.asarray(main_h[1])
+            coords_m = np.asarray(main_h[2])
+            n_hi = hi_cloud.shape[0]
+            x032 = sub_struct.coords.astype(np.float32).astype(np.float64)
+            sol_of_lane = {}
+            for k, cand in enumerate(candidates):
+                if not accepted_h[k]:
+                    continue
+                A = cand.rot.T.astype(np.float64)
+                b = cand.lo_coord - cand.hi_coord.astype(np.float64) @ A
+                center = (x032 @ A + b).mean(axis=0)
+                s_a = (((table.hi_cloud @ A + b) - center)
+                       @ rot_m[k].astype(np.float64)
+                       + center + trans_m[k].astype(np.float64))
+                struct = sub_struct.with_coords(
+                    coords_m[k, :n_atoms].astype(np.float64))
+                solutions.append(Solution(
+                    structure=struct,
+                    corresp_anchors=s_a[hits_h[k, :n_hi]],
+                    repeat=100.0 * int(counts_h[k]) / n_hi,
+                    weight=cand.weight, ccc=0.0,
+                    members=list(cand.members)))
+                sol_of_lane[k] = len(solutions) - 1
+            for k, cand in enumerate(candidates):
+                mt = int(merge_to_h[k])
+                if mt >= 0:
+                    j = sol_of_lane[mt]
+                    solutions[j].weight += cand.weight
+                    solutions[j].members.extend(cand.members)
+
+            # Rescue round 1 from the chained device outputs.
+            n_top = int(n_top_h)
+            n_new = 0
+            if solutions and n_top > 0:
+                (order_r, assign_r, found_r, weights_r, gate_r,
+                 cand_order_r, n_cands_r, erep_r) = sel_r_h
+                n_cands_r = int(n_cands_r)
+                rcap_needed = max(rcap_needed, n_cands_r)
+                if n_cands_r > 0:
+                    top = np.asarray(top_rows_h)[:n_top]
+                    o_r = np.asarray(order_r)[:n_top]
+                    sub_table = table.take(
+                        top[o_r], repeat=np.asarray(erep_r)[o_r])
+                    n_new = _merge_rescue_round(
+                        res_r, sub_table, map_set, sub_set, solutions,
+                        sub_struct, dmap, table, cfg, n_cands_r, r_cap,
+                        np.asarray(assign_r), np.asarray(found_r),
+                        np.asarray(weights_r), np.asarray(gate_r),
+                        np.asarray(cand_order_r))
+                    if verbose and n_new:
+                        print(f"MaD> Rescue round: {n_new} additional "
+                              "solution(s) in unexplained density")
+            if n_new > 0 and int(fc.rescue_rounds) >= 2:
+                host_rescue_rounds(int(fc.rescue_rounds) - 1)
 
     # Remember the right-sized candidate frames for future processes (not
     # adopted mid-process: a new frame would mean a cold compile mid-run).

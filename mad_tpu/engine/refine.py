@@ -189,6 +189,25 @@ def _pow2_bucket(k: int, lo: int = 4) -> int:
 
 @functools.lru_cache(maxsize=16)
 @warmable
+def _compiled_refine_merge(c: int, c2: int, n: int):
+    """Scatter the compacted second segment's results back into the full
+    candidate frame ON DEVICE (``ix`` rows beyond the real survivor count
+    are out-of-range and drop). Lets callers chain further device programs
+    onto the merged refinement state without a host round trip."""
+
+    def merge(ix, rot1, trans1, coords1, steps1, failed1,
+              rot2, trans2, coords2, steps2, failed2):
+        return (rot1.at[ix].set(rot2, mode="drop"),
+                trans1.at[ix].set(trans2, mode="drop"),
+                coords1.at[ix].set(coords2, mode="drop"),
+                steps1.at[ix].set(steps2, mode="drop"),
+                failed1.at[ix].set(failed2, mode="drop"))
+
+    return jax.jit(merge)
+
+
+@functools.lru_cache(maxsize=16)
+@warmable
 def _compiled_refine_compact(c: int, c2: int, n: int):
     """Gather the surviving candidates' segment state into a smaller batch
     in ONE device program (keyed by the (c, c2) bucket pair, so the warm
@@ -206,7 +225,7 @@ def _compiled_refine_compact(c: int, c2: int, n: int):
 def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
                       cfg: RefineConfig, mesh: "Mesh" = None, *,
                       device_starts=None, n_atoms: int = 0, frozen0=None,
-                      extra=None) -> RefineResult:
+                      extra=None, device_out: bool = False) -> RefineResult:
     """Refine C candidate poses; start_coords is (C, N, 3) in Angstroms.
 
     Single-device runs are SEGMENTED: after ``segment_steps`` steps the
@@ -227,7 +246,13 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
     cross the host boundary; the program chains onto the producing
     dispatch. ``extra``: arbitrary device arrays pulled alongside the
     refinement results in the one consolidated device_get (returned as
-    ``RefineResult.extra``)."""
+    ``RefineResult.extra``).
+
+    device_out: return FULL-FRAME device arrays (rot/trans/coords/steps/
+    failed, segments merged on device via _compiled_refine_merge) with NO
+    host pull — for callers that chain further device programs onto the
+    refinement results. ``converged`` is None and ``extra`` passes through
+    untouched; the segmented path still pays its one frozen-mask sync."""
     if device_starts is not None:
         c = c_real = int(device_starts.shape[0])
         n = int(device_starts.shape[1])
@@ -314,6 +339,20 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
                     map_d, y0c, atom_valid, origin_h, voxsp, transc, rotc,
                     ssizec, prevc, frozenc, failedc, stepsc,
                     np.int32(seg), np.int32(cfg.n_steps))
+        if device_out:
+            if out2 is not None:
+                (rot2_d, trans2_d, coords2_d, _fz2, steps2_d, failed2_d,
+                 _ss2, _pv2) = out2
+                k = len(active)
+                ix_put = np.full(c2, c, np.int32)   # pad rows drop
+                ix_put[:k] = active
+                rot_d, trans_d, coords_d, steps_d, failed_d = \
+                    _compiled_refine_merge(c, c2, n)(
+                        ix_put, rot_d, trans_d, coords_d, steps_d, failed_d,
+                        rot2_d, trans2_d, coords2_d, steps2_d, failed2_d)
+            return RefineResult(rot=rot_d, trans=trans_d, coords=coords_d,
+                                converged=None, steps=steps_d,
+                                failed=failed_d, extra=extra)
         # One consolidated pull of both segments' results.
         with stage("refine.pull"):
             pulled = jax.device_get(
@@ -334,6 +373,12 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
             steps[ia] = steps2[:k]
             failed[ia] = failed2[:k]
     else:
+        if device_out:
+            (rot_d, trans_d, coords_d, frozen_d, steps_d, failed_d, _ss,
+             _pv) = out
+            return RefineResult(rot=rot_d, trans=trans_d, coords=coords_d,
+                                converged=None, steps=steps_d,
+                                failed=failed_d, extra=extra)
         # One consolidated pull: every np.asarray would be its own ~100 ms
         # round trip through the tunneled host relay.
         with stage("refine.pull"):
