@@ -60,6 +60,36 @@ def test_log_filter_matches_scipy_interior():
                                refg[6:-6, 6:-6, 6:-6], atol=1e-4)
 
 
+def test_banded_matmul_matches_shift_add(monkeypatch):
+    """The TPU banded-matmul conv path (one MXU contraction per axis) must
+    reproduce the shift-and-add results; forced on here on CPU."""
+    from mad_tpu.ops import convolve as cv
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(size=(20, 18, 17)).astype(np.float32)
+    k0 = gaussian_kernel1d(1.6, 0)
+    ref_g = np.asarray(gaussian_filter3d(jnp.asarray(vol), 1.6))
+    ref_log, ref_gauss = log_filter3d(jnp.asarray(vol), 1.6)
+    ref_full = np.asarray(conv1d_along(jnp.asarray(vol), k0, 1,
+                                       mode="full"))
+    ref_up = np.asarray(upsample2(jnp.asarray(vol)))
+
+    monkeypatch.setattr(cv, "_banded_ok", lambda n, ksz: True)
+    np.testing.assert_allclose(
+        np.asarray(gaussian_filter3d(jnp.asarray(vol), 1.6)), ref_g,
+        atol=2e-5)
+    log_b, gauss_b = log_filter3d(jnp.asarray(vol), 1.6)
+    np.testing.assert_allclose(np.asarray(log_b), np.asarray(ref_log),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gauss_b), np.asarray(ref_gauss),
+                               atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(conv1d_along(jnp.asarray(vol), k0, 1, mode="full")),
+        ref_full, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(upsample2(jnp.asarray(vol))),
+                               ref_up, atol=2e-5)
+
+
 def test_upsample2_shape_and_exactness():
     # Linear ramps are reproduced exactly by Catmull-Rom; original samples kept.
     x, y, z = np.meshgrid(np.arange(6.0), np.arange(5.0), np.arange(7.0),
