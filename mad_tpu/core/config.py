@@ -143,6 +143,10 @@ class RefineConfig:
     dedup_rmsd: float = 6.0        # CA-RMSD merging threshold post-refine
     segment_steps: int = 128       # compact converged candidates after this
                                    # many steps (0 = monolithic loop)
+    cascade: bool = True           # on-device survivor compaction: the whole
+                                   # refinement (halving lane frames included)
+                                   # runs as ONE program with zero host syncs;
+                                   # False = host-synced segmented/monolithic
     field_dtype: str = "float32"   # packed gradient-field storage (bfloat16
                                    # halves the gather row size)
 

@@ -187,6 +187,149 @@ def _pow2_bucket(k: int, lo: int = 4) -> int:
     return b
 
 
+def _cascade_frames(c: int, lo: int = 8) -> Tuple[int, ...]:
+    """Static lane-frame sizes for the cascade: halve until ``lo``."""
+    frames = [c]
+    while frames[-1] > lo:
+        frames.append(max(lo, (frames[-1] + 1) // 2))
+    return tuple(frames)
+
+
+@functools.lru_cache(maxsize=16)
+@warmable
+def _compiled_refine_cascade(shape: Tuple[int, int, int], c: int, n: int,
+                             n_steps: int, max_step: float, min_step: float,
+                             batch_size: int, field_dtype: str = "float32"):
+    """Whole refinement as ONE device program with on-device compaction.
+
+    A chain of ``lax.while_loop`` phases over statically halved lane
+    frames: each phase steps the full physics until the number of active
+    (unfrozen) lanes fits the next frame, then a stable argsort permutes
+    active lanes to the front and the state slices down. The segmented
+    path's survivor compaction thus happens WITHOUT the host sync it pays
+    for the frozen-mask pull — and at an adaptive step instead of a fixed
+    one. Every step is lane-independent (reductions run within a lane), so
+    trajectories are bitwise identical to the monolithic loop (tested)."""
+    frames = _cascade_frames(c)
+
+    def refine(map_data, y0, atom_valid, origin, voxsp, frozen_init):
+        gx, gy, gz = jnp.gradient(map_data)
+        grad_field = jnp.stack([gx, gy, gz], axis=-1)
+        row_bytes = 128 if field_dtype == "float32" else 64
+        use_packed = (shape[0] * shape[1] * shape[2]) * row_bytes < 4 << 30
+        if use_packed:
+            packed = pack_corners(
+                grad_field, None if field_dtype == "float32" else field_dtype)
+        av = atom_valid.astype(y0.dtype)
+        n_atoms = jnp.maximum(jnp.sum(av), 1.0)
+        center = (jnp.sum(y0 * av[None, :, None], axis=1, keepdims=True)
+                  / n_atoms)                                    # (c, 1, 3)
+        max_dist = jnp.max(
+            jnp.linalg.norm(y0 - center, axis=-1) * av[None, :], axis=1)
+        hi_bound = origin + (jnp.asarray(shape) - 1) * voxsp
+
+        def body(y0_p, center_p, max_dist_p, state, step):
+            trans, rot, step_size, prev, frozen, failed = state
+            coords = (y0_p - center_p) @ rot + center_p + trans[:, None]
+            inb = jnp.all((coords > origin) & (coords < hi_bound), axis=-1)
+            w = (inb & atom_valid[None]).astype(coords.dtype)
+            vox = (coords - origin) / voxsp
+            if use_packed:
+                g = trilinear_packed(packed, shape, vox) * w[..., None]
+            else:
+                g = trilinear(grad_field, vox) * w[..., None]
+
+            is_trans = (step % 2) == 0
+            dtrans = unit(jnp.sum(g, axis=1)) * step_size[:, None]
+            torque = unit(jnp.sum(jnp.cross(g, coords - center_p), axis=1))
+            angle = step_size / jnp.maximum(max_dist_p, 1e-6)
+            rstep = axis_angle_mat(torque, angle)
+
+            upd = ~frozen
+            new_trans = jnp.where((upd & is_trans)[:, None],
+                                  trans + dtrans, trans)
+            new_rot = jnp.where((upd & ~is_trans)[:, None, None],
+                                rot @ rstep, rot)
+            new_coords = ((y0_p - center_p) @ new_rot + center_p
+                          + new_trans[:, None])
+
+            at_batch = (step + 1) % batch_size == 0
+            disp = jnp.max(
+                jnp.linalg.norm(prev - new_coords, axis=-1) * av[None],
+                axis=1)
+            shrink = at_batch & (disp < step_size) & upd
+            new_step = jnp.where(shrink, step_size * 0.5, step_size)
+            take_prev = at_batch & upd
+            new_prev = jnp.where(take_prev[:, None, None], new_coords, prev)
+            finite = jnp.all(jnp.isfinite(new_coords), axis=(1, 2)) & \
+                jnp.all(jnp.isfinite(new_trans), axis=1)
+            new_failed = failed | ~finite
+            new_frozen = frozen | (new_step < min_step) | new_failed
+            return (new_trans, new_rot, new_step, new_prev, new_frozen,
+                    new_failed), jnp.where(frozen, 0, 1)
+
+        def run_phase(consts, carry, exit_active: int):
+            """While active lanes exceed ``exit_active``, keep stepping."""
+            y0_p, center_p, max_dist_p = consts
+
+            def cond(cr):
+                step, state, _ = cr
+                frozen = state[4]
+                return ((step < n_steps)
+                        & (jnp.sum(~frozen) > exit_active))
+
+            def loop(cr):
+                step, state, counts = cr
+                new_state, took = body(y0_p, center_p, max_dist_p, state,
+                                       step)
+                return step + 1, new_state, counts + took
+
+            return lax.while_loop(cond, loop, carry)
+
+        trans = jnp.zeros((c, 3), jnp.float32)
+        rot = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (c, 3, 3))
+        step_size = jnp.full((c,), max_step, jnp.float32)
+        counts = jnp.zeros((c,), jnp.int32)
+        state = (trans, rot, step_size, y0, frozen_init,
+                 jnp.zeros((c,), bool))
+        consts = (y0, center, max_dist)
+        step = jnp.int32(0)
+
+        # Full-frame arrays in ORIGINAL lane order; each boundary permutes
+        # actives first, slices to the next frame, and scatters back after.
+        full_state, full_counts = state, counts
+        full_consts = consts
+        perm_chain = None  # original-order full arrays are rebuilt per phase
+        for i, f in enumerate(frames):
+            exit_active = frames[i + 1] if i + 1 < len(frames) else 0
+            if i == 0:
+                sl_state, sl_counts, sl_consts = (full_state, full_counts,
+                                                  full_consts)
+                perm = None
+            else:
+                frozen_full = full_state[4]
+                perm = jnp.argsort(frozen_full, stable=True)
+                take = perm[:f]
+                sl_state = tuple(a[take] for a in full_state)
+                sl_counts = full_counts[take]
+                sl_consts = tuple(a[take] for a in full_consts)
+            step, sl_state, sl_counts = run_phase(
+                sl_consts, (step, sl_state, sl_counts), exit_active)
+            if perm is None:
+                full_state, full_counts = sl_state, sl_counts
+            else:
+                take = perm[:f]
+                full_state = tuple(
+                    a.at[take].set(b) for a, b in zip(full_state, sl_state))
+                full_counts = full_counts.at[take].set(sl_counts)
+
+        (trans, rot, step_size, prev, frozen, failed) = full_state
+        coords = (y0 - center) @ rot + center + trans[:, None]
+        return rot, trans, coords, frozen, full_counts, failed
+
+    return jax.jit(refine)
+
+
 @functools.lru_cache(maxsize=16)
 @warmable
 def _compiled_refine_merge(c: int, c2: int, n: int):
@@ -286,8 +429,10 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
     # f32 device->host->device round trips are lossless.
     from ..utils.profiling import stage
     seg = int(getattr(cfg, "segment_steps", 128))
-    segmented = (mesh is None and seg > 0 and cfg.n_steps > 2 * seg
-                 and c_real >= 16)
+    cascade = (mesh is None and getattr(cfg, "cascade", True)
+               and c_real >= 16)
+    segmented = (not cascade and mesh is None and seg > 0
+                 and cfg.n_steps > 2 * seg and c_real >= 16)
     with stage("refine.h2d"):
         map_d = dmap.device()
         # Segmented runs keep y0 on device: the inter-segment compaction
@@ -303,6 +448,33 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
             map_d = jax.device_put(map_d, NamedSharding(mesh, P()))
         origin_h = np.asarray(dmap.origin, dtype=np.float32)
         voxsp = np.float32(dmap.voxsp)
+
+    if cascade:
+        fz0 = (frozen0 if frozen0 is not None
+               else np.zeros((c,), dtype=bool))
+        with stage("refine.seg1"):
+            out = _compiled_refine_cascade(
+                tuple(dmap.shape), c, n, cfg.n_steps, float(cfg.max_step),
+                float(cfg.min_step), cfg.batch_size,
+                getattr(cfg, "field_dtype", "float32"))(
+                map_d, y0_d, atom_valid, origin_h, voxsp, fz0)
+        rot_d, trans_d, coords_d, frozen_d, steps_d, failed_d = out
+        if device_out:
+            return RefineResult(rot=rot_d, trans=trans_d, coords=coords_d,
+                                converged=None, steps=steps_d,
+                                failed=failed_d, extra=extra)
+        with stage("refine.pull"):
+            out_h, extra_h = jax.device_get((out, extra))
+        rot, trans, coords, frozen, steps, failed = [np.array(a)
+                                                     for a in out_h]
+        return RefineResult(
+            rot=rot[:c_real],
+            trans=trans[:c_real],
+            coords=coords[:c_real, :n_real].astype(np.float64),
+            converged=frozen[:c_real],
+            steps=steps[:c_real],
+            failed=failed[:c_real],
+            extra=extra_h)
 
     def init_state(yy, cc):
         fz = (frozen0 if frozen0 is not None and cc == c

@@ -57,11 +57,36 @@ def test_refine_segmented_equals_monolithic(system):
         for i in range(18)
     ]).astype(np.float32)
     mono = refine_candidates(
-        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=0))
+        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=0,
+                                          cascade=False))
     segd = refine_candidates(
-        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=64))
+        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=64,
+                                          cascade=False))
     np.testing.assert_array_equal(mono.converged, segd.converged)
     np.testing.assert_array_equal(mono.steps, segd.steps)
     np.testing.assert_array_equal(mono.rot, segd.rot)
     np.testing.assert_array_equal(mono.trans, segd.trans)
     np.testing.assert_array_equal(mono.coords, segd.coords)
+
+
+def test_refine_cascade_equals_monolithic(system):
+    """The one-program cascade (on-device survivor compaction at adaptive
+    phase boundaries) reproduces the monolithic while_loop bitwise: lane
+    permutation and frame slicing touch no per-lane arithmetic."""
+    import dataclasses
+    struct, dmap = system
+    rng = np.random.default_rng(7)
+    starts = np.stack([
+        struct.coords + rng.normal(scale=0.2 + 0.4 * (i % 3), size=3)
+        for i in range(18)
+    ]).astype(np.float32)
+    mono = refine_candidates(
+        dmap, starts, dataclasses.replace(RefineConfig(), segment_steps=0,
+                                          cascade=False))
+    casc = refine_candidates(
+        dmap, starts, dataclasses.replace(RefineConfig(), cascade=True))
+    np.testing.assert_array_equal(mono.converged, casc.converged)
+    np.testing.assert_array_equal(mono.steps, casc.steps)
+    np.testing.assert_array_equal(mono.rot, casc.rot)
+    np.testing.assert_array_equal(mono.trans, casc.trans)
+    np.testing.assert_array_equal(mono.coords, casc.coords)
