@@ -126,14 +126,15 @@ def main():
                      f"{time.time() - t0:.1f}s, {len(sols)} solutions, "
                      f"{n_models} models\n")
 
-    # Timed steady-state: best of three passes (the tunneled host adds
-    # multi-second noise; the minimum is the reproducible device time).
+    # Timed steady-state: best of five passes (the tunneled host relay
+    # adds 0.1-0.3 s of per-sync jitter; the minimum is the reproducible
+    # device+latency floor, and five samples pin it better than three).
     import contextlib
     from mad_tpu.utils import profiling
     with contextlib.redirect_stdout(sys.stderr):
         profiling.show_timing(reset=True)
     elapsed = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         sols, n_models = run_fit(sub, copies, dmap, 10.0, cfg)
         t = time.time() - t0
