@@ -84,6 +84,11 @@ class MaD:
         self.dmap: Optional[DensityGrid] = None
         self.map_dsc: Optional[DescriptorSet] = None
         self.dsc_dict: Dict[str, object] = {}
+        # run() overwrites this from its kwarg; initialized here so the
+        # preprocess surface (check_preprocess_data / get_descriptors) is
+        # callable standalone (the reference only sets it inside run,
+        # mad/MaD.py:91).
+        self.transform_subunits: bool = False
         # Pre-refinement solution artifacts (pre_solutions/ +
         # Solutions_filtered_*.csv, mad/MaD.py:891-921). The reference's
         # call site is commented out (mad/MaD.py:404-405), so this defaults

@@ -175,3 +175,40 @@ def test_ensemble_scoring(system):
         assert row[3] > 0.5          # mean mCC of a correct dock is high
     assert os.path.exists(os.path.join(mad.out_folder,
                                        "Plot_score_ensemble.png"))
+
+
+def test_ensemble_frames_batch_through_describe_pool(system, monkeypatch,
+                                                     tmp_path):
+    """Cache-miss ensemble frames describe through the SAME describe_many
+    pool call as the map and plain subunits (api.get_descriptors), so an
+    N-frame ensemble pays ~max(frame) of relay latency, not sum(frames)
+    (round-2 verdict item 5)."""
+    from mad_tpu.engine import pipeline as pl
+
+    root, map_path, sub_path, copies = system
+    ens_dir = os.path.join(str(tmp_path), "ens3")
+    os.makedirs(ens_dir, exist_ok=True)
+    sub = parse_pdb(sub_path)
+    rng = np.random.default_rng(1)
+    for fk in ("fa", "fb", "fc"):
+        write_pdb(sub.with_coords(
+            sub.coords + rng.normal(scale=0.2, size=sub.coords.shape)),
+            os.path.join(ens_dir, f"{fk}.pdb"))
+
+    calls = []
+    orig = pl.describe_many
+
+    def recording(jobs, *a, **kw):
+        calls.append(len(jobs))
+        return orig(jobs, *a, **kw)
+
+    monkeypatch.setattr(pl, "describe_many", recording)
+    mad = MaD(workdir=str(tmp_path))      # fresh dsc_db: all jobs miss
+    mad.add_map(map_path, resolution=8.0)
+    mad.add_subunit(ens_dir, n_copies=2)
+    mad.check_preprocess_data()
+    mad.get_descriptors()                 # describe phase only (no docking)
+    # ONE pool call carrying map + all 3 frames together.
+    assert calls == [4]
+    assert mad.map_dsc is not None and mad.map_dsc.n > 0
+    assert sum(1 for v in mad.dsc_dict.values() if isinstance(v, str)) == 3
