@@ -126,6 +126,14 @@ def main():
                      f"{time.time() - t0:.1f}s, {len(sols)} solutions, "
                      f"{n_models} models\n")
 
+    # Join any warm work still in flight before timing: under a loaded
+    # compile service the async replays can lag past the warmup pass and
+    # bleed multi-second first-executions into the timed window (in-flight
+    # futures dedupe, so a second replay of warm programs is cheap).
+    t0 = time.time()
+    replay(block=True)
+    sys.stderr.write(f"bench> warm barrier: {time.time() - t0:.1f}s\n")
+
     # Timed steady-state: best of five passes (the tunneled host relay
     # adds 0.1-0.3 s of per-sync jitter; the minimum is the reproducible
     # device+latency floor, and five samples pin it better than three).

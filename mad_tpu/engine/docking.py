@@ -217,13 +217,19 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     # frame is ADOPTED once per process — a rung written at the end of one
     # pass must not change the next pass's program shapes (that recompile
     # is a multi-minute deferred compile on remote-compile backends).
-    cap_key = f"dockc|{map_set.name}|{sub_set.name}"
+    # The map shape is part of the key: systems that share structure NAMES
+    # but not sizes (e.g. bench.py's north-star map vs stress_large.py's
+    # 44 M-voxel map, both "bench_map") must not trade rungs — an oversized
+    # adopted frame recompiles the warm programs AND buys linearly more
+    # refinement gather work per pass.
+    shp = "x".join(str(int(s)) for s in dmap.shape)
+    cap_key = f"dockc|{map_set.name}|{shp}|{sub_set.name}"
     c_cap = _frames_adopt(cap_key, (48,))[0]
     c_cap = int(min(max(c_cap, 16), n_scan))
     # Rescue rounds carry far fewer candidates (unexplained-density pairs
     # only) and the refinement's gather cost scales linearly with the lane
     # frame, so they get their own, smaller frame.
-    rcap_key = f"dockr|{map_set.name}|{sub_set.name}"
+    rcap_key = f"dockr|{map_set.name}|{shp}|{sub_set.name}"
     r_cap = int(min(max(_frames_adopt(rcap_key, (16,))[0], 8), n_scan))
     nb = bucket(sub_struct.n_atoms, 256)
     n_atoms = sub_struct.n_atoms
