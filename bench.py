@@ -34,6 +34,12 @@ def build_system(n_copies=10, n_res=260, voxsp=1.4, resolution=10.0,
     return sub, copies, dmap
 
 
+def decoy(sub):
+    """Rotated + translated decoy pose (host-side numpy, deterministic)."""
+    from mad_tpu.api import _decoy_transform
+    return _decoy_transform(sub)
+
+
 def run_fit(sub, copies, dmap, resolution, cfg):
     """Describe map + subunit, dock n_copies, enumerate assembly."""
     from mad_tpu.engine.pipeline import describe_grid, describe_structure
@@ -44,8 +50,11 @@ def run_fit(sub, copies, dmap, resolution, cfg):
     from mad_tpu.engine.pipeline import describe_many
 
     n_copies = len(copies)
-    # Decoy transform (self-fit protocol, reference run_MaD.py path)
-    moved = sub.with_coords(sub.coords - sub.center() + [150.0, 0.0, 0.0])
+    # Decoy transform (self-fit protocol, reference run_MaD.py path with
+    # transform_subunits=True): full rotation + translation away from the
+    # deposited pose (mad/structure_utils.py:30-56) so recovery exercises
+    # the descriptor/orientation rotation invariance, not just translation.
+    moved = decoy(sub)
     # Map and subunit describe chains are independent: threading them
     # overlaps their host-relay syncs (engine/pipeline.describe_many).
     with stage("bench.describe"):
@@ -113,8 +122,7 @@ def main():
     from mad_tpu.ops.simulate import simulated_shape
     from mad_tpu.utils.warmup import warm_pipeline
     t0 = time.time()
-    moved_coords = sub.coords - sub.center() + [150.0, 0.0, 0.0]
-    sub_shape = simulated_shape(moved_coords, 10.0, dmap.voxsp,
+    sub_shape = simulated_shape(decoy(sub).coords, 10.0, dmap.voxsp,
                                 shape_bucket=cfg.shape_bucket)
     warm_pipeline([dmap.shape, sub_shape], cfg)
     sys.stderr.write(f"bench> AOT warm: {time.time() - t0:.1f}s\n")

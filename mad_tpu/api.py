@@ -20,7 +20,6 @@ from .core.config import MadConfig
 from .core.grid import DensityGrid, read_map, write_mrc
 from .core.structure import (Structure, parse_pdb, write_pdb, write_complex,
                              write_pseudo_pdb)
-from .core.geometry import axis_angle_mat
 from .ops.simulate import simulate_density
 from .engine.pipeline import DescriptorSet, describe_grid
 from .engine.docking import dock_structure, Solution
@@ -41,17 +40,26 @@ def _read_csv(path: str) -> List[dict]:
         return list(csv.DictReader(fh))
 
 
+def _np_axis_angle_mat(axis, angle):
+    """Host-side Euler-Rodrigues matrix, same sign convention as
+    core.geometry.axis_angle_mat (tiny 3x3 work; keeping it on the host
+    avoids eager device round trips for the decoy protocol)."""
+    axis = np.asarray(axis, dtype=np.float64)
+    a = np.cos(angle / 2.0)
+    b, c, d = -axis * np.sin(angle / 2.0)
+    return np.array([
+        [a*a + b*b - c*c - d*d, 2*(b*c + a*d), 2*(b*d - a*c)],
+        [2*(b*c - a*d), a*a + c*c - b*b - d*d, 2*(c*d + a*b)],
+        [2*(b*d + a*c), 2*(c*d - a*b), a*a + d*d - b*b - c*c]])
+
+
 def _decoy_transform(struct: Structure, t=(150.0, 0.0, 0.0), a=0.375,
                      b=1.735, c=2.452) -> Structure:
     """Move a pre-fitted subunit away from its deposited pose
     (parity: structure_utils.move_copy_structure, mad/structure_utils.py:30-56)."""
-    import jax.numpy as jnp
-    R = np.asarray(axis_angle_mat(jnp.array([1.0, 0, 0]), jnp.array(a)))
-    coords = struct.coords @ R
-    R = np.asarray(axis_angle_mat(jnp.array([0.0, 1, 0]), jnp.array(b)))
-    coords = coords @ R
-    R = np.asarray(axis_angle_mat(jnp.array([0.0, 0, 1]), jnp.array(c)))
-    coords = coords @ R
+    coords = struct.coords @ _np_axis_angle_mat([1.0, 0, 0], a)
+    coords = coords @ _np_axis_angle_mat([0.0, 1, 0], b)
+    coords = coords @ _np_axis_angle_mat([0.0, 0, 1], c)
     coords = coords - coords.mean(axis=0) + np.asarray(t)
     return struct.with_coords(coords)
 

@@ -21,14 +21,43 @@ import jax
 # reduced precision explicitly where profiling justifies it.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+def _host_tag() -> str:
+    """Short hash of this host's CPU architecture + feature flags.
+
+    The persistent XLA cache stores XLA:CPU AOT blobs whose code targets the
+    *compiling* machine's features; loading them on a host with different
+    features risks SIGILL (observed as loader warnings when ~/.cache moved
+    between machines). Keying the default cache directory by the host
+    signature keeps every directory single-machine."""
+    import hashlib
+    import platform as _platform
+    sig = _platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    sig += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux
+        pass
+    return hashlib.sha1(sig.encode()).hexdigest()[:10]
+
+
+def cache_root() -> str:
+    """Root directory for all persistent state (XLA cache, warm manifest,
+    HLO blobs, frame memory). ``MAD_TPU_CACHE`` overrides; the default is
+    keyed by host machine features (see _host_tag)."""
+    base = _os.environ.get("MAD_TPU_CACHE")
+    if base:
+        return base
+    return _os.path.expanduser("~/.cache/mad_tpu_xla-" + _host_tag())
+
+
 # Persistent compilation cache: the pipeline compiles one program per
 # (bucketed) grid shape; caching them across processes turns repeat runs
 # from minutes of XLA compilation into milliseconds of cache hits.
 try:
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        _os.environ.get("MAD_TPU_CACHE",
-                        _os.path.expanduser("~/.cache/mad_tpu_xla")))
+    jax.config.update("jax_compilation_cache_dir", cache_root())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover - older jax without the option
     pass

@@ -67,9 +67,8 @@ def _frames_repin(key: str, caps) -> None:
 
 def _frame_path() -> str:
     import os
-    base = os.environ.get("MAD_TPU_CACHE",
-                          os.path.expanduser("~/.cache/mad_tpu_xla"))
-    return os.path.join(base, "frame_memory.json")
+    from ..core.config import cache_root
+    return os.path.join(cache_root(), "frame_memory.json")
 
 
 def _frames_load() -> dict:

@@ -58,9 +58,8 @@ _exe_futures: dict = {}    # masked key -> in-flight compile Future: a first
 
 
 def _manifest_path() -> str:
-    base = os.environ.get("MAD_TPU_CACHE",
-                          os.path.expanduser("~/.cache/mad_tpu_xla"))
-    return os.path.join(base, "warm_manifest.json")
+    from ..core.config import cache_root
+    return os.path.join(cache_root(), "warm_manifest.json")
 
 
 def _load_manifest() -> dict:
@@ -397,9 +396,8 @@ def replay(max_workers: int = 8, block: bool = False, only=None):
 
 
 def _blob_dir() -> str:
-    base = os.environ.get("MAD_TPU_CACHE",
-                          os.path.expanduser("~/.cache/mad_tpu_xla"))
-    return os.path.join(base, "hlo")
+    from ..core.config import cache_root
+    return os.path.join(cache_root(), "hlo")
 
 
 def _blob_path(ekey: str) -> str:
