@@ -55,10 +55,16 @@ def cache_root() -> str:
 
 # Persistent compilation cache: the pipeline compiles one program per
 # (bucketed) grid shape; caching them across processes turns repeat runs
-# from minutes of XLA compilation into milliseconds of cache hits.
+# from minutes of XLA compilation into milliseconds of cache hits. CPU runs
+# (tests, multichip dryruns) skip it: XLA:CPU AOT blobs bake tuning
+# pseudo-features (+prefer-no-scatter/-gather) into their target machine
+# list, so the loader flags every reload as a machine mismatch — and CPU
+# compiles are local and fast, the cache only pays off on remote-compile
+# TPU backends.
 try:
-    jax.config.update("jax_compilation_cache_dir", cache_root())
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if "cpu" not in _os.environ.get("JAX_PLATFORMS", "").lower():
+        jax.config.update("jax_compilation_cache_dir", cache_root())
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # pragma: no cover - older jax without the option
     pass
 

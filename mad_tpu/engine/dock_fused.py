@@ -30,13 +30,19 @@ resulting candidate sets (tests/test_dock_fused.py).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
+from ..parallel.mesh import mesh_axis, mesh_size
 from ..utils.warmup import warmable
 from .match import _approx_repeat_body, _exact_repeat_body, _field_body
 
@@ -123,16 +129,31 @@ def _cluster_select_body(p: int, n_scan: int, c_cap: int, nb: int,
     return run
 
 
+def _shard_slice(arr, ax: str, n_local: int):
+    """This device's contiguous row block of a replicated array (shard_map
+    helper: pair/lane work splits by ``axis_index`` so each device re-scores
+    only its slice, then ``all_gather`` rebuilds the full axis)."""
+    i0 = lax.axis_index(ax) * n_local
+    return lax.dynamic_slice_in_dim(arr, i0, n_local, axis=0)
+
+
 @functools.lru_cache(maxsize=16)
 @warmable
 def _compiled_dock_select(shape: Tuple[int, int, int], r_vox: int,
                           a_hi: int, a_lo: int, p: int, pe: int, n_scan: int,
                           c_cap: int, nb: int, anchor_dist: float,
                           rmsd_cloud: float, wthresh: int, min_repeat: float,
-                          repeat_frac: float):
+                          repeat_frac: float, mesh: Optional[Mesh] = None):
     """First-round program: dilated-field approximate repeatability for all
     pairs + exact re-scoring of the top ``pe`` + ordering + clustering +
-    candidate starts, one dispatch."""
+    candidate starts, one dispatch.
+
+    mesh: the SAME chain runs shard_map'ed — the approximate repeatability
+    shards over the pair axis and the exact re-score over the top-``pe``
+    axis (each a DP axis with anchor clouds replicated); the sequential
+    cluster scan runs replicated on every device after an all_gather of the
+    per-pair scores (tiny: p floats + p poses). Outputs are replicated, so
+    the host bookkeeping is identical to the single-device path."""
     fb = _field_body(shape, r_vox)
     ab = _approx_repeat_body(shape, 256)
     eb = _exact_repeat_body(16, anchor_dist)
@@ -142,26 +163,67 @@ def _compiled_dock_select(shape: Tuple[int, int, int], r_vox: int,
     elanes = np.arange(pe)
     eye = np.eye(3, dtype=np.float32)
 
+    def select_tail(rep, rot, hc, lc, n_rows, n_exact, n_valid_scan, mu, M,
+                    x0, exact_fn):
+        """Exact re-score of the ordering-critical prefix
+        (engine/match._compiled_select_exact semantics) + cluster/select.
+        ``exact_fn(er, eh, el) -> (pe,)`` so the mesh variant can shard the
+        re-score internally."""
+        rep_m = jnp.where(lanes < n_rows, rep, -jnp.inf)
+        top = jnp.argsort(-rep_m, stable=True)[:pe]
+        er = jnp.where((elanes < n_exact)[:, None, None], rot[top], eye)
+        erep = exact_fn(er, hc[top], lc[top])
+        put = (elanes < n_exact) & (top < n_rows)
+        rep_full = rep.at[jnp.where(put, top, p)].set(
+            jnp.where(put, erep, 0.0), mode="drop")
+        return cs(rep_full, rot, hc, lc, n_rows, n_valid_scan,
+                  jnp.float32(-1.0), mu, M, x0)
+
     def run(lo_vox, lo_valid, hi_cloud, hi_valid, lo_cloud, origin,
             inv_voxsp, rot, hc, lc, n_rows, n_exact, n_valid_scan,
             mu, M, x0):
         field = fb(lo_vox, lo_valid)
         rep = ab(field, hi_cloud, hi_valid, origin, inv_voxsp, rot, hc, lc)
-        # exact re-score of the ordering-critical prefix
-        # (engine/match._compiled_select_exact semantics)
-        rep_m = jnp.where(lanes < n_rows, rep, -jnp.inf)
-        top = jnp.argsort(-rep_m, stable=True)[:pe]
-        er = jnp.where((elanes < n_exact)[:, None, None], rot[top], eye)
-        erep = eb(hi_cloud, hi_valid, lo_cloud, lo_valid, er, hc[top],
-                  lc[top])
-        put = (elanes < n_exact) & (top < n_rows)
-        rep_full = rep.at[jnp.where(put, top, p)].set(
-            jnp.where(put, erep, 0.0), mode="drop")
-        sel, starts, frozen0 = cs(rep_full, rot, hc, lc, n_rows,
-                                  n_valid_scan, jnp.float32(-1.0), mu, M, x0)
-        return sel, starts, frozen0
+        return select_tail(
+            rep, rot, hc, lc, n_rows, n_exact, n_valid_scan, mu, M, x0,
+            lambda er, eh, el: eb(hi_cloud, hi_valid, lo_cloud, lo_valid,
+                                  er, eh, el))
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    ax = mesh_axis(mesh)
+    pe_l = pe // mesh_size(mesh)
+
+    def run_sharded(lo_vox, lo_valid, hi_cloud, hi_valid, lo_cloud, origin,
+                    inv_voxsp, rot_s, hc_s, lc_s, n_rows, n_exact,
+                    n_valid_scan, mu, M, x0):
+        field = fb(lo_vox, lo_valid)              # replicated build
+        rep_s = ab(field, hi_cloud, hi_valid, origin, inv_voxsp,
+                   rot_s, hc_s, lc_s)             # this device's pair shard
+        rep = lax.all_gather(rep_s, ax, tiled=True)
+        rot = lax.all_gather(rot_s, ax, tiled=True)
+        hc = lax.all_gather(hc_s, ax, tiled=True)
+        lc = lax.all_gather(lc_s, ax, tiled=True)
+
+        def exact_fn(er, eh, el):
+            erep_l = eb(hi_cloud, hi_valid, lo_cloud, lo_valid,
+                        _shard_slice(er, ax, pe_l),
+                        _shard_slice(eh, ax, pe_l),
+                        _shard_slice(el, ax, pe_l))
+            return lax.all_gather(erep_l, ax, tiled=True)
+
+        return select_tail(rep, rot, hc, lc, n_rows, n_exact, n_valid_scan,
+                           mu, M, x0, exact_fn)
+
+    sel_specs = (P(),) * 8
+    sm = shard_map(run_sharded, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(), P(), P(), P(),
+                             P(ax, None, None), P(ax, None), P(ax, None),
+                             P(), P(), P(), P(), P(), P()),
+                   out_specs=(sel_specs, P(), P()),
+                   check_vma=False)
+    return jax.jit(sm)
 
 
 @functools.lru_cache(maxsize=16)
@@ -169,10 +231,14 @@ def _compiled_dock_select(shape: Tuple[int, int, int], r_vox: int,
 def _compiled_rescue_select(a_hi: int, a_lo: int, pe: int, n_scan: int,
                             c_cap: int, nb: int, anchor_dist: float,
                             rmsd_cloud: float, wthresh: int,
-                            min_repeat: float, repeat_frac: float):
+                            min_repeat: float, repeat_frac: float,
+                            mesh: Optional[Mesh] = None):
     """Rescue-round program: exact repeatability for the eligible row subset
     + ordering + clustering + candidate starts (the repeat gate stays
-    relative to the FULL table's best, passed as ``best_override``)."""
+    relative to the FULL table's best, passed as ``best_override``).
+
+    mesh: exact re-score shards over the row axis; the cluster scan runs
+    replicated after an all_gather (see _compiled_dock_select)."""
     eb = _exact_repeat_body(16, anchor_dist)
     cs = _cluster_select_body(pe, n_scan, c_cap, nb, rmsd_cloud, wthresh,
                               min_repeat, repeat_frac)
@@ -184,7 +250,29 @@ def _compiled_rescue_select(a_hi: int, a_lo: int, pe: int, n_scan: int,
                                   best_override, mu, M, x0)
         return sel, starts, frozen0
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    ax = mesh_axis(mesh)
+
+    def run_sharded(hi_cloud, hi_valid, lo_cloud, lo_valid, rot_s, hc_s,
+                    lc_s, n_rows, best_override, mu, M, x0):
+        erep_l = eb(hi_cloud, hi_valid, lo_cloud, lo_valid, rot_s, hc_s,
+                    lc_s)
+        erep = lax.all_gather(erep_l, ax, tiled=True)
+        rot = lax.all_gather(rot_s, ax, tiled=True)
+        hc = lax.all_gather(hc_s, ax, tiled=True)
+        lc = lax.all_gather(lc_s, ax, tiled=True)
+        return cs(erep, rot, hc, lc, n_rows, n_rows, best_override, mu, M,
+                  x0)
+
+    sm = shard_map(run_sharded, mesh=mesh,
+                   in_specs=(P(), P(), P(), P(),
+                             P(ax, None, None), P(ax, None), P(ax, None),
+                             P(), P(), P(), P(), P()),
+                   out_specs=((P(),) * 8, P(), P()),
+                   check_vma=False)
+    return jax.jit(sm)
 
 
 @functools.lru_cache(maxsize=16)
@@ -193,7 +281,8 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
                         a_lo: int, pe_r: int, n_scan_r: int, r_cap: int,
                         anchor_dist: float, rmsd_cloud: float, wthresh: int,
                         min_repeat: float, repeat_frac: float,
-                        dedup_rmsd: float, hit_thresh: float):
+                        dedup_rmsd: float, hit_thresh: float,
+                        mesh: Optional[Mesh] = None):
     """Post-refinement program: chains the inter-round host work of a dock
     rescue round onto the refinement's device outputs, so the main round's
     results never cross the host boundary before the rescue refinement
@@ -218,7 +307,13 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
         refinement start poses (_compiled_rescue_select semantics).
 
     Returns bookkeeping for the host to rebuild Solution records after the
-    ONE consolidated pull that follows the rescue refinement."""
+    ONE consolidated pull that follows the rescue refinement.
+
+    mesh: the heavy per-lane / per-row stages shard (candidate re-score
+    over the lane axis, rescue eligibility over the pair axis, the rescue
+    exact re-score over its row axis); the sequential dedup/cluster scans
+    run replicated on all_gathered inputs, so outputs are replicated and
+    the host bookkeeping is path-independent."""
     eb = _exact_repeat_body(16, anchor_dist)
     cs = _cluster_select_body(pe_r, n_scan_r, r_cap, nb, rmsd_cloud,
                               wthresh, min_repeat, repeat_frac)
@@ -226,10 +321,11 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
     pos_ids = np.arange(p)
     eye = np.eye(3, dtype=np.float32)
 
-    def run(rot_m, trans_m, coords_m, failed_m,
-            order, found_i, cand_order, n_cands, rep_full,
-            rot_p, hc_p, lc_p, hi_cloud, hi_valid, lo_cloud, lo_valid,
-            atom_valid, ca_mask, n_pairs, n_top_cap, mu, M, x0):
+    def body(rot_m, trans_m, coords_m, failed_m,
+             order, found_i, cand_order, n_cands, rep_full,
+             rot_p, hc_p, lc_p, hi_cloud, hi_valid, lo_cloud, lo_valid,
+             atom_valid, ca_mask, n_pairs, n_top_cap, mu, M, x0,
+             lane_map_fn, pair_scan_fn, exact_fn):
         # Composed pose per lane: refine ran on y0 = (x0 - hi) @ Rc^T + lo,
         # so coords = x0 @ (Rc^T rot) + ((b - center) rot + center + trans)
         # — the same composition formula the host path evaluates in f64
@@ -263,7 +359,7 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
             dif = s - lo_cloud[nn]
             return jnp.sum(dif * dif, -1) <= jnp.float32(hit_thresh) ** 2
 
-        hits = lax.map(lane_rescore, s_a) & hi_valid[None]
+        hits = lane_map_fn(lane_rescore, s_a) & hi_valid[None]
         counts = jnp.sum(hits, axis=-1).astype(jnp.int32)
 
         # Greedy CA-RMSD dedup in candidate order (_merge_refined):
@@ -300,15 +396,21 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
         # order.
         lc_ord = lc_p[order]
 
-        def elig_step(best_d2, j):
-            d = lc_ord[:, None, :] - coords_m[j][None]
-            d2 = jnp.sum(d * d, -1)
-            d2 = jnp.where((atom_valid & accepted[j])[None], d2, jnp.inf)
-            return jnp.minimum(best_d2, jnp.min(d2, -1)), None
+        def dmin2_of(lc_rows):
+            def elig_step(best_d2, j):
+                d = lc_rows[:, None, :] - coords_m[j][None]
+                d2 = jnp.sum(d * d, -1)
+                d2 = jnp.where((atom_valid & accepted[j])[None], d2,
+                               jnp.inf)
+                return jnp.minimum(best_d2, jnp.min(d2, -1)), None
 
-        dmin2, _ = lax.scan(
-            elig_step, jnp.full(p, jnp.inf, jnp.float32),
-            jnp.arange(c_cap, dtype=jnp.int32))
+            out, _ = lax.scan(
+                elig_step,
+                jnp.full(lc_rows.shape[0], jnp.inf, jnp.float32),
+                jnp.arange(c_cap, dtype=jnp.int32))
+            return out
+
+        dmin2 = pair_scan_fn(dmin2_of, lc_ord)
         elig = ((dmin2 > jnp.float32(anchor_dist) ** 2)
                 & (pos_ids < n_pairs) & (n_acc > 0))
 
@@ -324,13 +426,81 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
         rot_e = jnp.where(ok_r[:, None, None], rot_p[rows_r], eye)
         hc_e = jnp.where(ok_r[:, None], hc_p[rows_r], 0.0)
         lc_e = jnp.where(ok_r[:, None], lc_p[rows_r], 0.0)
-        erep = eb(hi_cloud, hi_valid, lo_cloud, lo_valid, rot_e, hc_e, lc_e)
+        erep = exact_fn(rot_e, hc_e, lc_e)
         sel_r, starts_r, frozen0_r = cs(erep, rot_e, hc_e, lc_e, n_top,
                                         n_top, rep_full[order[0]], mu, M, x0)
         post = (hits, counts, accepted, merge_to, n_acc, top_rows, n_top)
         return post, sel_r, starts_r, frozen0_r
 
-    return jax.jit(run)
+    if mesh is None:
+        def run(rot_m, trans_m, coords_m, failed_m,
+                order, found_i, cand_order, n_cands, rep_full,
+                rot_p, hc_p, lc_p, hi_cloud, hi_valid, lo_cloud, lo_valid,
+                atom_valid, ca_mask, n_pairs, n_top_cap, mu, M, x0):
+            return body(
+                rot_m, trans_m, coords_m, failed_m, order, found_i,
+                cand_order, n_cands, rep_full, rot_p, hc_p, lc_p, hi_cloud,
+                hi_valid, lo_cloud, lo_valid, atom_valid, ca_mask, n_pairs,
+                n_top_cap, mu, M, x0,
+                lane_map_fn=lax.map,
+                pair_scan_fn=lambda f, rows: f(rows),
+                exact_fn=lambda rot_e, hc_e, lc_e: eb(
+                    hi_cloud, hi_valid, lo_cloud, lo_valid, rot_e, hc_e,
+                    lc_e))
+
+        return jax.jit(run)
+
+    ax = mesh_axis(mesh)
+    nd = mesh_size(mesh)
+    c_l, p_l, pe_r_l = c_cap // nd, p // nd, pe_r // nd
+
+    def run_sharded(rot_m_s, trans_m_s, coords_m_s, failed_m_s,
+                    order, found_i, cand_order, n_cands, rep_full,
+                    rot_p_s, hc_p_s, lc_p_s, hi_cloud, hi_valid, lo_cloud,
+                    lo_valid, atom_valid, ca_mask, n_pairs, n_top_cap,
+                    mu, M, x0):
+        # Refinement outputs arrive sharded over the candidate-lane axis,
+        # the match table over the pair axis; the sequential scans need the
+        # full axes (tiny payloads), the heavy hooks re-shard internally.
+        rot_m = lax.all_gather(rot_m_s, ax, tiled=True)
+        trans_m = lax.all_gather(trans_m_s, ax, tiled=True)
+        coords_m = lax.all_gather(coords_m_s, ax, tiled=True)
+        failed_m = lax.all_gather(failed_m_s, ax, tiled=True)
+        rot_p = lax.all_gather(rot_p_s, ax, tiled=True)
+        hc_p = lax.all_gather(hc_p_s, ax, tiled=True)
+        lc_p = lax.all_gather(lc_p_s, ax, tiled=True)
+
+        def lane_map_fn(f, s_a):
+            out_l = lax.map(f, _shard_slice(s_a, ax, c_l))
+            return lax.all_gather(out_l, ax, tiled=True)
+
+        def pair_scan_fn(f, lc_rows):
+            out_l = f(_shard_slice(lc_rows, ax, p_l))
+            return lax.all_gather(out_l, ax, tiled=True)
+
+        def exact_fn(rot_e, hc_e, lc_e):
+            erep_l = eb(hi_cloud, hi_valid, lo_cloud, lo_valid,
+                        _shard_slice(rot_e, ax, pe_r_l),
+                        _shard_slice(hc_e, ax, pe_r_l),
+                        _shard_slice(lc_e, ax, pe_r_l))
+            return lax.all_gather(erep_l, ax, tiled=True)
+
+        return body(
+            rot_m, trans_m, coords_m, failed_m, order, found_i, cand_order,
+            n_cands, rep_full, rot_p, hc_p, lc_p, hi_cloud, hi_valid,
+            lo_cloud, lo_valid, atom_valid, ca_mask, n_pairs, n_top_cap,
+            mu, M, x0, lane_map_fn, pair_scan_fn, exact_fn)
+
+    sm = shard_map(run_sharded, mesh=mesh,
+                   in_specs=(P(ax, None, None), P(ax, None),
+                             P(ax, None, None), P(ax),
+                             P(), P(), P(), P(), P(),
+                             P(ax, None, None), P(ax, None), P(ax, None),
+                             P(), P(), P(), P(), P(), P(), P(), P(),
+                             P(), P(), P()),
+                   out_specs=((P(),) * 7, (P(),) * 8, P(), P()),
+                   check_vma=False)
+    return jax.jit(sm)
 
 
 def cloud_moments(hi_cloud: np.ndarray):

@@ -169,17 +169,25 @@ def _merge_rescue_round(res_r, sub_table, map_set, sub_set, solutions,
 def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                           sub_struct: Structure, dmap: DensityGrid,
                           resolution: float, cfg: MadConfig, n_copies: int,
-                          verbose: bool, on_filtered) -> List[Solution]:
-    """Single-device docking through the fused select programs: after the
-    similarity pull, repeatability -> ordering -> clustering -> start poses
-    run as ONE dispatch and the refinement chains onto its device outputs.
-    With rescue rounds enabled, the first rescue round ALSO chains on
-    device (_compiled_dock_post: re-score + dedup + eligibility + rescue
-    selection + rescue refinement), so the whole two-round dock costs two
+                          verbose: bool, on_filtered,
+                          mesh=None) -> List[Solution]:
+    """Docking through the fused select programs: after the similarity
+    pull, repeatability -> ordering -> clustering -> start poses run as ONE
+    dispatch and the refinement chains onto its device outputs. With rescue
+    rounds enabled, the first rescue round ALSO chains on device
+    (_compiled_dock_post: re-score + dedup + eligibility + rescue selection
+    + rescue refinement), so the whole two-round dock costs two
     segment-boundary syncs plus ONE consolidated pull. Candidate and table
     bookkeeping is reconstructed host-side from that pull; results match
-    the split path (engine/dock_fused docstring)."""
+    the split path (engine/dock_fused docstring).
+
+    mesh: the SAME chain runs sharded — similarity rows, pair/lane axes and
+    refinement candidates shard over the mesh (shard_map variants of the
+    same fused programs; the sequential cluster scans run replicated after
+    all_gathers of the tiny per-pair score/pose payloads). Host bookkeeping
+    and results are identical to the single-device fused path."""
     import jax.numpy as jnp
+    from ..parallel.mesh import batch_bucket
     from .dock_fused import (_compiled_dock_select, _compiled_dock_post,
                              _compiled_rescue_select, cloud_moments)
 
@@ -188,7 +196,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     n_samples = fc.n_samples * n_copies
 
     with stage("match"):
-        pairs = match_pairs(map_set, sub_set, mc)
+        pairs = match_pairs(map_set, sub_set, mc, mesh=mesh)
     if pairs is None:
         if verbose:
             print(f"MaD> 0 descriptor pairs above cc={mc.cc_threshold:.2f}")
@@ -202,11 +210,13 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         print(f"MaD> {n_pairs} descriptor pairs above "
               f"cc={mc.cc_threshold:.2f}")
 
-    # Static frames (mirroring engine/match.match_descriptors).
-    p = bucket(max(n_pairs, 256), 256)
+    # Static frames (mirroring engine/match.match_descriptors). Under a
+    # mesh the sharded axes bucket per-device (batch_bucket) so every
+    # device holds whole kernel chunks.
+    p = batch_bucket(max(n_pairs, 256), 256, mesh)
     want = max(mc.exact_top, n_samples)
     n_exact = min(bucket(want, 64), bucket(n_pairs, 64))
-    pe = bucket(n_exact, 64)
+    pe = batch_bucket(n_exact, 64, mesh)
     a_hi = bucket(hi_cloud.shape[0], 256)
     a_lo = bucket(lo_cloud.shape[0], 256)
     n_scan = bucket(max(min(n_samples, n_pairs), 64), 64)
@@ -231,6 +241,12 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     # frame, so they get their own, smaller frame.
     rcap_key = f"dockr|{map_set.name}|{shp}|{sub_set.name}"
     r_cap = int(min(max(_frames_adopt(rcap_key, (16,))[0], 8), n_scan))
+    if mesh is not None:
+        # Lane frames shard over the mesh: round up so every device gets
+        # whole lanes, and keep n_scan >= the (possibly grown) frame.
+        c_cap = batch_bucket(c_cap, 16, mesh)
+        r_cap = batch_bucket(r_cap, 8, mesh)
+        n_scan = max(n_scan, c_cap, r_cap)
     nb = bucket(sub_struct.n_atoms, 256)
     n_atoms = sub_struct.n_atoms
     x0p = np.concatenate([
@@ -260,7 +276,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
             tuple(dmap.shape), r_vox, a_hi, a_lo, p, pe, n_scan, c_cap, nb,
             float(mc.anchor_dist), float(fc.rmsd_cloud),
             int(fc.weight_threshold), float(fc.min_repeat),
-            float(fc.repeat_frac))
+            float(fc.repeat_frac), mesh=mesh)
         sel, starts, frozen0 = sel_fn(
             lo_vox, lo_valid, hi_cloud_p, hi_valid, lo_cloud_p, origin_f,
             np.float32(1.0 / dmap.voxsp), rot_p, hc_p, lc_p,
@@ -268,7 +284,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
             np.int32(min(n_samples, n_pairs)), mu, M, x0p)
     use_post = int(fc.rescue_rounds) >= 1
     with stage("refine"):
-        res = refine_candidates(dmap, None, cfg.refine,
+        res = refine_candidates(dmap, None, cfg.refine, mesh=mesh,
                                 device_starts=starts, n_atoms=n_atoms,
                                 frozen0=frozen0,
                                 extra=None if use_post else sel,
@@ -281,7 +297,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         # as one dispatch on the refinement's device outputs, and the
         # rescue refinement follows with no host boundary in between. ONE
         # consolidated pull then returns both rounds' results.
-        pe_r = bucket(max(n_samples, 64), 64)
+        pe_r = batch_bucket(max(n_samples, 64), 64, mesh)
         atom_valid = np.zeros(nb, bool)
         atom_valid[:n_atoms] = True
         ca_mask = np.zeros(nb, bool)
@@ -295,7 +311,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                 float(mc.anchor_dist), float(fc.rmsd_cloud),
                 int(fc.weight_threshold), float(fc.min_repeat),
                 float(fc.repeat_frac), float(cfg.refine.dedup_rmsd),
-                float(dmap.voxsp * 1.5))
+                float(dmap.voxsp * 1.5), mesh=mesh)
             post_d, sel_r_d, starts_r, frozen0_r = post_fn(
                 res.rot, res.trans, res.coords, res.failed,
                 sel[0], sel[2], sel[5], sel[6], sel[7],
@@ -304,7 +320,7 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                 np.int32(n_samples), mu, M, x0p)
         with stage("refine"):
             res_r = refine_candidates(
-                dmap, None, cfg.refine, device_starts=starts_r,
+                dmap, None, cfg.refine, mesh=mesh, device_starts=starts_r,
                 n_atoms=n_atoms, frozen0=frozen0_r,
                 extra=(sel, (res.rot, res.trans, res.coords, res.steps,
                              res.failed), post_d, sel_r_d))
@@ -345,8 +361,8 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
             if not len(elig):
                 break
             top = elig[:n_samples]
-            pe_r = bucket(max(len(top), 64), 64)
-            n_scan_r = bucket(max(len(top), 64), 64)
+            pe_r = batch_bucket(max(len(top), 64), 64, mesh)
+            n_scan_r = max(bucket(max(len(top), 64), 64), r_cap)
             rot_e = _pad_rows(table.rot[top].astype(np.float32), pe_r)
             rot_e[len(top):] = np.eye(3)
             hc_e = _pad_rows(table.hi_coord[top].astype(np.float32), pe_r)
@@ -356,13 +372,13 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                     a_hi, a_lo, pe_r, n_scan_r, r_cap, nb,
                     float(mc.anchor_dist), float(fc.rmsd_cloud),
                     int(fc.weight_threshold), float(fc.min_repeat),
-                    float(fc.repeat_frac))
+                    float(fc.repeat_frac), mesh=mesh)
                 sel_r, starts_r, frozen0_r = r_fn(
                     hi_cloud_p, hi_valid, lo_cloud_p, lo_valid, rot_e,
                     hc_e, lc_e, np.int32(len(top)),
                     np.float32(best_repeat), mu, M, x0p)
             with stage("refine"):
-                res_l = refine_candidates(dmap, None, cfg.refine,
+                res_l = refine_candidates(dmap, None, cfg.refine, mesh=mesh,
                                           device_starts=starts_r,
                                           n_atoms=n_atoms,
                                           frozen0=frozen0_r, extra=sel_r)
@@ -540,18 +556,21 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     891-921).
     mesh: optional jax.sharding.Mesh; matching shards the similarity rows
     and pair axes, refinement shards the candidate axis (same kernels as
-    the single-device path, results equal up to similarity ties).
+    the single-device path, results equal up to similarity ties). The
+    default fused path serves meshes too (shard_map variants of the same
+    fused programs, engine/dock_fused).
     """
     import os as _os
     from .. import cache as _cache
 
-    if (mesh is None and not match_cache
+    if (not match_cache
             and _os.environ.get("MAD_TPU_FUSED_DOCK", "1") != "0"):
-        # Default single-device path: the post-similarity chain fuses into
-        # one dispatch per round and the refinement chains on device.
+        # Default path (single-device or mesh): the post-similarity chain
+        # fuses into one dispatch per round and the refinement chains on
+        # device.
         return _dock_structure_fused(map_set, sub_set, sub_struct, dmap,
                                      resolution, cfg, n_copies, verbose,
-                                     on_filtered)
+                                     on_filtered, mesh=mesh)
 
     n_samples = cfg.filter.n_samples * n_copies
 

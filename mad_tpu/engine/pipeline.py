@@ -624,10 +624,10 @@ def describe_many(jobs, max_workers: int = 2, voxels=None):
 
 
 def describe_structure(struct: Structure, resolution: float, voxsp: float,
-                       cfg: MadConfig, isovalue: float = 0.0, name: str = ""
-                       ) -> DescriptorSet:
+                       cfg: MadConfig, isovalue: float = 0.0, name: str = "",
+                       mesh=None) -> DescriptorSet:
     """PDB path of the describe pipeline: simulate density first
     (parity: MapSpace PDB_mode, mad/MapSpace.py:73-75)."""
     grid = simulate_density(struct, resolution, voxsp, isovalue=isovalue,
                             shape_bucket=cfg.shape_bucket)
-    return describe_grid(grid, cfg, name=name or struct.source)
+    return describe_grid(grid, cfg, name=name or struct.source, mesh=mesh)

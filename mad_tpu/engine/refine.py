@@ -443,7 +443,10 @@ def refine_candidates(dmap: DensityGrid, start_coords: np.ndarray,
             y0_d = jnp.asarray(y0) if segmented else y0
         if mesh is not None:
             ax = mesh_axis(mesh)
-            y0_d = jax.device_put(jnp.asarray(y0),
+            # device_starts arrive replicated from the fused select
+            # programs; the lane axis shards here (a local slice, no
+            # cross-device traffic for an already-replicated array).
+            y0_d = jax.device_put(jnp.asarray(y0_d),
                                   NamedSharding(mesh, P(ax, None, None)))
             map_d = jax.device_put(map_d, NamedSharding(mesh, P()))
         origin_h = np.asarray(dmap.origin, dtype=np.float32)

@@ -4,6 +4,13 @@ The reference validates against EMDB/PDB files that are not shipped with the
 repository, so tests and benchmarks here build procedural pseudo-proteins
 (ideal alpha-helix backbones bent by a random walk) with realistic atom
 counts, masses and CA/backbone markup.
+
+``KNOB_REGIMES`` mirrors the reference's documented non-default parameter
+matrix (/root/reference/run_MaD.py:35-60, notebook cells 12-20): each row is
+a tuned regime the reference pins for a specific experimental system class,
+re-created here on synthetic assemblies at the matching resolution so the
+docking e2e behavior under those knobs is covered (tests/test_knob_matrix.py,
+scripts/knob_matrix.py -> PARITY.md).
 """
 
 from __future__ import annotations
@@ -103,3 +110,77 @@ def make_assembly(n_copies: int = 3, n_res: int = 100, seed: int = 0,
                                    0.1 * rng.normal()])
         copies.append(sub.transformed(R, t))
     return sub, copies
+
+
+# Reference knob matrix (mad run_MaD.py:35-60 + BASELINE.json config 5).
+# Each entry: (name, reference citation, system params, run() kwargs).
+# System params pick a synthetic assembly whose subunit size / map scale
+# matches the documented regime's resolution class; voxel spacing scales
+# with resolution (the information content per voxel is what the knobs
+# respond to, not absolute Angstroms).
+KNOB_REGIMES = [
+    dict(name="9A_cc05_ns80",
+         cite="run_MaD.py:35-41 (microtubule+kinesin, EMD-1340, 9 A)",
+         resolution=9.0, voxsp=2.25, n_copies=3, n_res=140, spread=26.0,
+         seed=11, run_kwargs=dict(cc_threshold=0.5, n_samples=80)),
+    dict(name="10A_cc05_ns100_x6",
+         cite="run_MaD.py:43-47 (MecA-ClpC, EMD-5609, 10 A, x6)",
+         resolution=10.0, voxsp=2.5, n_copies=6, n_res=150, spread=40.0,
+         seed=12, run_kwargs=dict(cc_threshold=0.5, n_samples=100)),
+    dict(name="11.6A_patch24",
+         cite="run_MaD.py:49-54 (GluK2, EMD-8290, 11.6 A, 2x2)",
+         resolution=11.6, voxsp=2.9, n_copies=4, n_res=220, spread=34.0,
+         seed=13, run_kwargs=dict(patch_size=24)),
+    dict(name="13A_ns120_patch12",
+         cite="run_MaD.py:56-60 (beta-galactosidase, EMD-2548, 13 A, x4)",
+         resolution=13.0, voxsp=3.0, n_copies=4, n_res=260, spread=36.0,
+         seed=14, run_kwargs=dict(n_samples=120, patch_size=12)),
+    dict(name="18A_dense_sweep",
+         cite="BASELINE.json config 5 (low-res 15-20 A dense sweep)",
+         resolution=18.0, voxsp=3.6, n_copies=3, n_res=340, spread=40.0,
+         seed=15, run_kwargs=dict(cc_threshold=0.5, n_samples=120)),
+]
+
+
+def run_knob_regime(regime: dict, rescue_rounds: int = 0):
+    """Dock one KNOB_REGIMES entry end-to-end (self-fit decoy protocol with
+    the full rotation+translation decoy). Returns a result dict with per-copy
+    best CA-RMSDs, recovery count and solution count."""
+    import dataclasses
+
+    from .core.config import MadConfig
+    from .engine.docking import dock_structure
+    from .engine.pipeline import describe_grid, describe_structure
+    from .ops.simulate import simulate_density
+
+    cfg = MadConfig.from_run_kwargs(**regime["run_kwargs"])
+    cfg = cfg.replace(
+        detect=dataclasses.replace(cfg.detect, max_anchors=2048),
+        filter=dataclasses.replace(cfg.filter,
+                                   rescue_rounds=rescue_rounds,
+                                   n_samples=cfg.filter.n_samples))
+    sub, copies = make_assembly(n_copies=regime["n_copies"],
+                                n_res=regime["n_res"], seed=regime["seed"],
+                                spread=regime["spread"],
+                                shell=regime["n_copies"] > 4)
+    coords = np.concatenate([c.coords for c in copies])
+    masses = np.concatenate([c.masses for c in copies])
+    dmap = simulate_density(coords, regime["resolution"], regime["voxsp"],
+                            masses=masses).reduce_void()
+
+    from .api import _decoy_transform
+    moved = _decoy_transform(sub)
+    map_set = describe_grid(dmap, cfg, name=f"knob_{regime['name']}_map")
+    sub_set = describe_structure(moved, regime["resolution"], dmap.voxsp,
+                                 cfg, name=f"knob_{regime['name']}_sub")
+    sols = dock_structure(map_set, sub_set, moved, dmap,
+                          regime["resolution"], cfg,
+                          n_copies=regime["n_copies"], verbose=False)
+    rmsds = [min((s.structure.rmsd_ca_with(c) for s in sols),
+                 default=np.inf) for c in copies]
+    thresh = max(4.0, regime["resolution"] / 2.0)
+    return dict(name=regime["name"], cite=regime["cite"],
+                map_shape=tuple(dmap.shape), n_solutions=len(sols),
+                rmsds=rmsds, threshold=thresh,
+                recovered=int(np.sum(np.asarray(rmsds) < thresh)),
+                n_copies=regime["n_copies"])

@@ -179,6 +179,50 @@ def test_pipeline_mesh_equals_single():
 
 
 @needs_devices
+def test_fused_dock_mesh_equals_single():
+    """The FUSED dock path — select, post-refine chain and rescue programs
+    (engine/dock_fused) — on an 8-device mesh reproduces the single-device
+    fused results. rescue_rounds=1 routes through _compiled_dock_post, so
+    all three fused programs' shard_map variants are exercised."""
+    import dataclasses
+
+    from mad_tpu.engine.docking import dock_structure
+    from mad_tpu.engine.pipeline import describe_grid
+    from mad_tpu.ops.simulate import simulate_density
+    from mad_tpu.testing import make_assembly
+
+    cfg = MadConfig()
+    cfg = cfg.replace(
+        detect=dataclasses.replace(cfg.detect, max_anchors=1024),
+        filter=dataclasses.replace(cfg.filter, rescue_rounds=1))
+    sub, copies = make_assembly(n_copies=2, n_res=40, seed=3, spread=14.0)
+    coords = np.concatenate([c.coords for c in copies])
+    masses = np.concatenate([c.masses for c in copies])
+    dmap = simulate_density(coords, 8.0, 2.0, masses=masses,
+                            shape_bucket=cfg.shape_bucket)
+    sub_grid = simulate_density(sub, 8.0, 2.0, shape_bucket=cfg.shape_bucket)
+
+    # Shared (single-device) descriptor sets isolate the dock-path
+    # comparison; describe-stage mesh equality is pinned above.
+    map_d = describe_grid(dmap, cfg, name="map")
+    sub_d = describe_grid(sub_grid, cfg, name="sub")
+
+    s1 = dock_structure(map_d, sub_d, sub, dmap, 8.0, cfg, n_copies=2,
+                        verbose=False)
+    s8 = dock_structure(map_d, sub_d, sub, dmap, 8.0, cfg, n_copies=2,
+                        verbose=False, mesh=make_mesh(8))
+    assert len(s1) == len(s8) >= 2
+    for a, b in zip(s1, s8):
+        np.testing.assert_allclose(b.structure.coords, a.structure.coords,
+                                   atol=1e-3)
+        assert b.weight == a.weight
+        assert b.repeat == pytest.approx(a.repeat, abs=1e-3)
+        assert b.ccc == pytest.approx(a.ccc, abs=1e-4)
+    for c in copies:
+        assert min(s.structure.rmsd_ca_with(c) for s in s8) < 4.0
+
+
+@needs_devices
 def test_multichip_dryrun():
     # 4-device mesh: exercises non-power-of-8 sharding of the same step the
     # driver runs with 8 (compile cache shares most programs with the
