@@ -102,6 +102,12 @@ class MaD:
         # call site is commented out (mad/MaD.py:404-405), so this defaults
         # to off; set to True to emit them.
         self.save_pre_solutions: bool = False
+        # Pose-search checkpoint (SURVEY section 5): each docked subunit's
+        # solution set persists in pose_db/ (content-addressed: processed
+        # coords + dock knobs), so an interrupted multi-subunit run resumes
+        # at the first un-docked subunit. Companion of the dsc_db/ cache,
+        # which resumes the describe stage the same way.
+        self.pose_checkpoint: bool = True
 
     # ------------------------------------------------------------------
     # inputs (parity mad/MaD.py:46-85)
@@ -585,12 +591,33 @@ class MaD:
     def _dock_one(self, pdb_path: str, n_copies: int, k: str
                   ) -> List[Solution]:
         cfg = self.config
+        struct = parse_pdb(pdb_path)
+        # Pose-search checkpoint (SURVEY section 5 "failure detection" row):
+        # a completed subunit's solution set persists in pose_db/, content-
+        # addressed by the processed coords + dock-relevant knobs, so a
+        # killed multi-subunit run resumes at the first un-docked subunit.
+        ckpt = None
+        if self.pose_checkpoint:
+            db = os.path.join(self.workdir, "pose_db")
+            os.makedirs(db, exist_ok=True)
+            ckpt = dsc_cache.solutions_filename(
+                db, self.map_name, k,
+                dsc_cache.dock_state_hash(struct.coords, n_copies,
+                                          self.resolution, self.isovalue,
+                                          cfg))
+            if os.path.exists(ckpt):
+                sols = dsc_cache.load_solutions(ckpt, struct)
+                print(f"MaD> {len(sols)} docked solution(s) for {k} found "
+                      "in pose checkpoint")
+                self.solutions[k] = sols
+                self.solutions[k + "_files"] = \
+                    self._save_solutions_refined(sols, k)
+                return sols
         ds = self.dsc_dict[k]
         if isinstance(ds, str):
             ds = dsc_cache.load_descriptors(ds, k)
         print(f"MaD> Matching descriptors ({self.map_name} vs. {k}) "
               f"(cc = {cfg.match.cc_threshold:.2f})...")
-        struct = parse_pdb(pdb_path)
         on_filtered = None
         if self.save_pre_solutions:
             def on_filtered(cands):
@@ -598,6 +625,8 @@ class MaD:
         sols = dock_structure(self.map_dsc, ds, struct, self.dmap,
                               self.resolution, cfg, n_copies=n_copies,
                               on_filtered=on_filtered, mesh=self.mesh)
+        if ckpt is not None:
+            dsc_cache.save_solutions(sols, ckpt)
         self.solutions[k] = sols
         files = self._save_solutions_refined(sols, k)
         self.solutions[k + "_files"] = files

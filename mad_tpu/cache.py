@@ -106,3 +106,84 @@ def load_descriptors(path: str, name: str = "") -> DescriptorSet:
         eqsp_size=int(info[0, 4]) if n else 112,
         subeqsp_size=int(info[0, 5]) if n else 16,
         name=name or os.path.splitext(os.path.basename(path))[0])
+
+
+# ---------------------------------------------------------------------------
+# Pose-search checkpoint (SURVEY section 5, "failure detection" row:
+# "optional checkpoint of pose search state"). The descriptor cache above
+# resumes the describe stage; these resume the DOCK stage: a killed
+# multi-subunit run reloads each completed subunit's solution set and
+# continues at the first un-docked subunit (api.MaD._dock_one).
+# ---------------------------------------------------------------------------
+
+def solutions_filename(db_dir: str, map_name: str, key: str,
+                       state_hash: str) -> str:
+    return os.path.join(db_dir, f"solutions_{map_name}_{key}_"
+                                f"{state_hash}.h5")
+
+
+def dock_state_hash(struct_coords: np.ndarray, n_copies: int,
+                    resolution: float, isovalue: float, cfg) -> str:
+    """Content hash of everything the dock result depends on: the processed
+    subunit coordinates (decoy transform included) and the dock-relevant
+    config trees. A changed knob or input invalidates the checkpoint."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(struct_coords, dtype=np.float64).tobytes())
+    h.update(repr((n_copies, float(resolution), float(isovalue),
+                   cfg.scalespace, cfg.detect, cfg.orient, cfg.describe,
+                   cfg.match, cfg.filter, cfg.refine)).encode())
+    return h.hexdigest()[:12]
+
+
+def save_solutions(sols, path: str) -> None:
+    """Persist a docked subunit's Solution list (engine/docking.Solution):
+    refined coords, scores and the ragged corresp-anchor / member tables."""
+    with h5py.File(path, "w") as hf:
+        hf.attrs["n"] = len(sols)
+        if not sols:
+            return
+        hf.create_dataset("coords", data=np.stack(
+            [s.structure.coords for s in sols]))
+        hf.create_dataset("scores", data=np.asarray(
+            [[s.repeat, float(s.weight), s.ccc, s.score] for s in sols]))
+        ca = [np.asarray(s.corresp_anchors, dtype=np.float64).reshape(-1, 3)
+              for s in sols]
+        hf.create_dataset("corresp", data=np.concatenate(ca)
+                          if ca else np.zeros((0, 3)))
+        hf.create_dataset("corresp_len",
+                          data=np.asarray([len(a) for a in ca]))
+        mem = [np.asarray(m, dtype=np.float64) for s in sols
+               for m in s.members]
+        hf.create_dataset("members", data=np.stack(mem)
+                          if mem else np.zeros((0, 8)))
+        hf.create_dataset("members_len",
+                          data=np.asarray([len(s.members) for s in sols]))
+
+
+def load_solutions(path: str, struct):
+    """Rebuild the Solution list against ``struct`` (the processed
+    subunit)."""
+    from .engine.docking import Solution
+    with h5py.File(path, "r") as hf:
+        n = int(hf.attrs["n"])
+        if n == 0:
+            return []
+        coords = np.asarray(hf["coords"])
+        scores = np.asarray(hf["scores"])
+        corresp = np.asarray(hf["corresp"])
+        clen = np.asarray(hf["corresp_len"])
+        members = np.asarray(hf["members"])
+        mlen = np.asarray(hf["members_len"])
+    sols = []
+    co = mo = 0
+    for i in range(n):
+        sols.append(Solution(
+            structure=struct.with_coords(coords[i]),
+            corresp_anchors=corresp[co:co + clen[i]],
+            repeat=float(scores[i, 0]), weight=int(scores[i, 1]),
+            ccc=float(scores[i, 2]), score=float(scores[i, 3]),
+            members=list(members[mo:mo + mlen[i]])))
+        co += clen[i]
+        mo += mlen[i]
+    return sols

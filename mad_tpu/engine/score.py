@@ -30,13 +30,28 @@ from ..utils.warmup import warmable
 @warmable
 def _compiled_batched_ccc(pad_shape: Tuple[int, int, int],
                           model_shape: Tuple[int, int, int]):
-    def run(map_pad, models, starts):
+    def run(map_pad, models, starts, in_lo, in_hi):
+        """in_lo/in_hi: the real map's index range inside the padded grid.
+        Model voxels outside it are cropped from the model norm — the
+        reference computes both norms over the overlap box only
+        (mad/Dmap.py:170-234), so an edge-hugging candidate's out-of-map
+        voxels must not deflate its CCC (round-3 deviation 7, eliminated).
+        The map-side norm needs no mask: padding voxels are zero."""
+        ax = [jnp.arange(s) for s in model_shape]
+
         def one(model, start):
             sub = lax.dynamic_slice(
                 map_pad, (start[0], start[1], start[2]), model_shape)
-            olap = jnp.vdot(sub, model)
+            inb = (((ax[0] + start[0] >= in_lo[0])
+                    & (ax[0] + start[0] < in_hi[0]))[:, None, None]
+                   & ((ax[1] + start[1] >= in_lo[1])
+                      & (ax[1] + start[1] < in_hi[1]))[None, :, None]
+                   & ((ax[2] + start[2] >= in_lo[2])
+                      & (ax[2] + start[2] < in_hi[2]))[None, None, :])
+            m = model * inb
+            olap = jnp.vdot(sub, m)
             n1 = jnp.vdot(sub, sub)
-            n2 = jnp.vdot(model, model)
+            n2 = jnp.vdot(m, m)
             return olap / jnp.maximum(jnp.sqrt(n1 * n2), 1e-30)
 
         return jax.vmap(one)(models, starts)
@@ -63,7 +78,9 @@ def batched_ccc(dmap: DensityGrid, model_grids, model_origins: np.ndarray,
                                [int(x) for x in pad_hi])))
     fn = _compiled_batched_ccc(tuple(map_pad.shape), model_shape)
     out = fn(map_pad, model_grids,
-             jnp.asarray(starts + pad_lo, dtype=jnp.int32))
+             jnp.asarray(starts + pad_lo, dtype=jnp.int32),
+             np.asarray(pad_lo, dtype=np.int32),
+             np.asarray(pad_lo + np.asarray(dmap.shape), dtype=np.int32))
     from ..utils import sanitize
     out = np.asarray(out)
     sanitize.check_host("score.ccc", out)

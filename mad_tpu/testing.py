@@ -137,7 +137,9 @@ KNOB_REGIMES = [
          seed=14, run_kwargs=dict(n_samples=120, patch_size=12)),
     dict(name="18A_dense_sweep",
          cite="BASELINE.json config 5 (low-res 15-20 A dense sweep)",
-         resolution=18.0, voxsp=3.6, n_copies=3, n_res=340, spread=40.0,
+         # spread must exceed the subunit diameter at this blur level or
+         # neighboring copies' densities merge (tuned: 40 -> 1/3, 62 -> 3/3)
+         resolution=18.0, voxsp=3.6, n_copies=3, n_res=340, spread=62.0,
          seed=15, run_kwargs=dict(cc_threshold=0.5, n_samples=120)),
 ]
 

@@ -13,6 +13,8 @@ from mad_tpu.engine.pipeline import describe_grid
 from mad_tpu.ops.simulate import simulate_density
 from mad_tpu.testing import make_assembly
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def trimer():

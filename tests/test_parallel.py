@@ -17,6 +17,8 @@ from mad_tpu.ops.convolve import log_filter3d
 from mad_tpu.parallel.mesh import make_mesh
 from mad_tpu.parallel.volume import sharded_log_gspmd, sharded_log_shardmap
 
+pytestmark = pytest.mark.slow
+
 
 needs_devices = pytest.mark.skipif(
     len(jax.devices()) < 2, reason="needs multi-device CPU mesh")

@@ -17,6 +17,8 @@ from mad_tpu.testing import make_assembly
 
 from test_match import _exact_repeat_np, _make_set, _random_rot
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dimer():
