@@ -22,19 +22,10 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 def refmod():
     """Import reference modules with dependency shims, CWD at the ref root
     (EQSP_Sphere loads data files relative to CWD, mad/eqsp/eqsp.py:16)."""
-    from scipy import ndimage
-
-    def peak_local_max(grid, exclude_border=12, threshold_abs=0.05):
-        mx = ndimage.maximum_filter(grid, size=3, mode="constant")
-        mask = (grid >= mx) & (grid > threshold_abs)
-        eb = exclude_border
-        keep = np.zeros_like(mask)
-        keep[eb:grid.shape[0] - eb, eb:grid.shape[1] - eb,
-             eb:grid.shape[2] - eb] = True
-        mask &= keep
-        coords = np.argwhere(mask)
-        order = np.argsort(-grid[tuple(coords.T)], kind="stable")
-        return coords[order]
+    # Shared shim, itself pinned against a brute-force oracle over the
+    # plateau/tie/border edge cases in tests/test_peak_shim.py — so this
+    # parity comparison is not circular on the shim's semantics.
+    from ref_shims import peak_local_max
 
     sk = types.ModuleType("skimage")
     skf = types.ModuleType("skimage.feature")
