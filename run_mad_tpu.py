@@ -20,29 +20,9 @@ full pipeline on a synthetic self-fit assembly: simulate a trimer map,
 decoy-transform the subunit, dock it back and build assembly models.
 """
 
-import numpy as np
-
-from mad_tpu import MaD
-from mad_tpu.core.grid import write_mrc
-from mad_tpu.core.structure import write_pdb
-from mad_tpu.ops.simulate import simulate_density
-from mad_tpu.testing import make_assembly
-
-
-def main():
-    sub, copies = make_assembly(n_copies=3, n_res=80, seed=0, spread=24.0)
-    coords = np.concatenate([c.coords for c in copies])
-    masses = np.concatenate([c.masses for c in copies])
-    dmap = simulate_density(coords, 8.0, 2.0, masses=masses)
-    write_mrc(dmap, "trimer_map.mrc")
-    write_pdb(copies[0], "trimer_subunit.pdb")
-
-    mad = MaD()
-    mad.add_map("trimer_map.mrc", resolution=8.0)
-    mad.add_subunit("trimer_subunit.pdb", n_copies=3)
-    mad.run(transform_subunits=True)
-    mad.build_assembly()
-
+from mad_tpu.demo import main
 
 if __name__ == "__main__":
-    main()
+    # in-place like the reference driver (artifacts in the CWD); the
+    # installed `mad-tpu-demo` console script defaults to a tempdir
+    main(workdir=".")
