@@ -154,6 +154,7 @@ def test_homomultimer_device_head_matches_bruteforce():
     np.testing.assert_allclose(s_dev, s_f[order][:32], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_enumeration_trim_is_announced(capsys):
     """Above 5M combinations the restriction to the top-N solutions prints
     and is recorded for CSV metadata (no silent coverage caps; the

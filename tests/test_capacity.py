@@ -169,6 +169,7 @@ def test_orient_describe_sharded_equal_single(log_vol, grad_field):
 
 
 @needs_devices
+@pytest.mark.slow
 def test_describe_grid_capacity_no_full_gradient(monkeypatch):
     """Full capacity-mode describe chain equals single-device AND the
     gradient programs only ever produce sharded fields (watched via

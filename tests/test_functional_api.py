@@ -24,6 +24,7 @@ def small_system(tmp_path_factory):
     return map_path, copies
 
 
+@pytest.mark.slow
 def test_functional_pipeline(small_system):
     map_path, copies = small_system
     grid, cfg = F.setup(map_path, resolution=8.0)

@@ -48,6 +48,7 @@ def test_bf16_gradient_gate(grid, monkeypatch):
     assert cos.min() > 0.99
 
 
+@pytest.mark.slow
 def test_dense_octave_overflows_speculative_compaction():
     """A noise grid yields far more than 512 anchors per octave, forcing
     the speculative 512-anchor orientation to re-run at the true bucket

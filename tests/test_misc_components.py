@@ -193,6 +193,7 @@ def test_functional_repeatability():
     assert rep[2.0] == pytest.approx(100.0 * 2 / 3)
 
 
+@pytest.mark.slow
 def test_stage_sanitizer_localizes_nan(monkeypatch):
     """MAD_TPU_NANCHECK=1 (stage mode): a seeded NaN is localized to its
     pipeline stage with NO recompiles (jax_debug_nans stays off), via
