@@ -42,7 +42,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..parallel.mesh import mesh_axis, mesh_size
+from ..parallel.mesh import mesh_axis, mesh_size, gather_invariant
 from ..utils.warmup import warmable
 from .match import _approx_repeat_body, _exact_repeat_body, _field_body
 
@@ -201,17 +201,17 @@ def _compiled_dock_select(shape: Tuple[int, int, int], r_vox: int,
         field = fb(lo_vox, lo_valid)              # replicated build
         rep_s = ab(field, hi_cloud, hi_valid, origin, inv_voxsp,
                    rot_s, hc_s, lc_s)             # this device's pair shard
-        rep = lax.all_gather(rep_s, ax, tiled=True)
-        rot = lax.all_gather(rot_s, ax, tiled=True)
-        hc = lax.all_gather(hc_s, ax, tiled=True)
-        lc = lax.all_gather(lc_s, ax, tiled=True)
+        rep = gather_invariant(rep_s, ax, tiled=True)
+        rot = gather_invariant(rot_s, ax, tiled=True)
+        hc = gather_invariant(hc_s, ax, tiled=True)
+        lc = gather_invariant(lc_s, ax, tiled=True)
 
         def exact_fn(er, eh, el):
             erep_l = eb(hi_cloud, hi_valid, lo_cloud, lo_valid,
                         _shard_slice(er, ax, pe_l),
                         _shard_slice(eh, ax, pe_l),
                         _shard_slice(el, ax, pe_l))
-            return lax.all_gather(erep_l, ax, tiled=True)
+            return gather_invariant(erep_l, ax, tiled=True)
 
         return select_tail(rep, rot, hc, lc, n_rows, n_exact, n_valid_scan,
                            mu, M, x0, exact_fn)
@@ -222,8 +222,28 @@ def _compiled_dock_select(shape: Tuple[int, int, int], r_vox: int,
                              P(ax, None, None), P(ax, None), P(ax, None),
                              P(), P(), P(), P(), P(), P()),
                    out_specs=(sel_specs, P(), P()),
-                   check_vma=False)
+                   check_vma=True)
     return jax.jit(sm)
+
+
+@functools.lru_cache(maxsize=16)
+@warmable
+def _compiled_cached_select(p: int, n_scan: int, c_cap: int, nb: int,
+                            rmsd_cloud: float, wthresh: int,
+                            min_repeat: float, repeat_frac: float):
+    """Cache-hit variant of _compiled_dock_select: repeatabilities arrive
+    precomputed (a loaded matching cache, engine/docking.dock_structure), so
+    the field/approximate/exact stages drop and ONE dispatch runs ordering +
+    clustering + candidate starts directly. Outputs are replicated, so the
+    same program serves mesh runs (the sequential scan is the whole body)."""
+    cs = _cluster_select_body(p, n_scan, c_cap, nb, rmsd_cloud, wthresh,
+                              min_repeat, repeat_frac)
+
+    def run(rep_full, rot, hc, lc, n_rows, n_valid_scan, mu, M, x0):
+        return cs(rep_full, rot, hc, lc, n_rows, n_valid_scan,
+                  jnp.float32(-1.0), mu, M, x0)
+
+    return jax.jit(run)
 
 
 @functools.lru_cache(maxsize=16)
@@ -259,10 +279,10 @@ def _compiled_rescue_select(a_hi: int, a_lo: int, pe: int, n_scan: int,
                     lc_s, n_rows, best_override, mu, M, x0):
         erep_l = eb(hi_cloud, hi_valid, lo_cloud, lo_valid, rot_s, hc_s,
                     lc_s)
-        erep = lax.all_gather(erep_l, ax, tiled=True)
-        rot = lax.all_gather(rot_s, ax, tiled=True)
-        hc = lax.all_gather(hc_s, ax, tiled=True)
-        lc = lax.all_gather(lc_s, ax, tiled=True)
+        erep = gather_invariant(erep_l, ax, tiled=True)
+        rot = gather_invariant(rot_s, ax, tiled=True)
+        hc = gather_invariant(hc_s, ax, tiled=True)
+        lc = gather_invariant(lc_s, ax, tiled=True)
         return cs(erep, rot, hc, lc, n_rows, n_rows, best_override, mu, M,
                   x0)
 
@@ -271,7 +291,7 @@ def _compiled_rescue_select(a_hi: int, a_lo: int, pe: int, n_scan: int,
                              P(ax, None, None), P(ax, None), P(ax, None),
                              P(), P(), P(), P(), P()),
                    out_specs=((P(),) * 8, P(), P()),
-                   check_vma=False)
+                   check_vma=True)
     return jax.jit(sm)
 
 
@@ -462,28 +482,28 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
         # Refinement outputs arrive sharded over the candidate-lane axis,
         # the match table over the pair axis; the sequential scans need the
         # full axes (tiny payloads), the heavy hooks re-shard internally.
-        rot_m = lax.all_gather(rot_m_s, ax, tiled=True)
-        trans_m = lax.all_gather(trans_m_s, ax, tiled=True)
-        coords_m = lax.all_gather(coords_m_s, ax, tiled=True)
-        failed_m = lax.all_gather(failed_m_s, ax, tiled=True)
-        rot_p = lax.all_gather(rot_p_s, ax, tiled=True)
-        hc_p = lax.all_gather(hc_p_s, ax, tiled=True)
-        lc_p = lax.all_gather(lc_p_s, ax, tiled=True)
+        rot_m = gather_invariant(rot_m_s, ax, tiled=True)
+        trans_m = gather_invariant(trans_m_s, ax, tiled=True)
+        coords_m = gather_invariant(coords_m_s, ax, tiled=True)
+        failed_m = gather_invariant(failed_m_s, ax, tiled=True)
+        rot_p = gather_invariant(rot_p_s, ax, tiled=True)
+        hc_p = gather_invariant(hc_p_s, ax, tiled=True)
+        lc_p = gather_invariant(lc_p_s, ax, tiled=True)
 
         def lane_map_fn(f, s_a):
             out_l = lax.map(f, _shard_slice(s_a, ax, c_l))
-            return lax.all_gather(out_l, ax, tiled=True)
+            return gather_invariant(out_l, ax, tiled=True)
 
         def pair_scan_fn(f, lc_rows):
             out_l = f(_shard_slice(lc_rows, ax, p_l))
-            return lax.all_gather(out_l, ax, tiled=True)
+            return gather_invariant(out_l, ax, tiled=True)
 
         def exact_fn(rot_e, hc_e, lc_e):
             erep_l = eb(hi_cloud, hi_valid, lo_cloud, lo_valid,
                         _shard_slice(rot_e, ax, pe_r_l),
                         _shard_slice(hc_e, ax, pe_r_l),
                         _shard_slice(lc_e, ax, pe_r_l))
-            return lax.all_gather(erep_l, ax, tiled=True)
+            return gather_invariant(erep_l, ax, tiled=True)
 
         return body(
             rot_m, trans_m, coords_m, failed_m, order, found_i, cand_order,
@@ -499,7 +519,7 @@ def _compiled_dock_post(p: int, n_scan: int, c_cap: int, nb: int, a_hi: int,
                              P(), P(), P(), P(), P(), P(), P(), P(),
                              P(), P(), P()),
                    out_specs=((P(),) * 7, (P(),) * 8, P(), P()),
-                   check_vma=False)
+                   check_vma=True)
     return jax.jit(sm)
 
 

@@ -169,8 +169,8 @@ def _merge_rescue_round(res_r, sub_table, map_set, sub_set, solutions,
 def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
                           sub_struct: Structure, dmap: DensityGrid,
                           resolution: float, cfg: MadConfig, n_copies: int,
-                          verbose: bool, on_filtered,
-                          mesh=None) -> List[Solution]:
+                          verbose: bool, on_filtered, mesh=None,
+                          match_cache: str = None) -> List[Solution]:
     """Docking through the fused select programs: after the similarity
     pull, repeatability -> ordering -> clustering -> start poses run as ONE
     dispatch and the refinement chains onto its device outputs. With rescue
@@ -185,27 +185,54 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
     refinement candidates shard over the mesh (shard_map variants of the
     same fused programs; the sequential cluster scans run replicated after
     all_gathers of the tiny per-pair score/pose payloads). Host bookkeeping
-    and results are identical to the single-device fused path."""
+    and results are identical to the single-device fused path.
+
+    match_cache: optional h5 path. On a hit the MatchTable (pairs +
+    repeatabilities) loads from it and the similarity/repeatability
+    programs are skipped entirely — ordering + clustering + starts run as
+    one small dispatch (_compiled_cached_select) and the refinement chains
+    on as usual. On a miss the table computed by the select program is
+    saved after the pull, so repeat runs stay on the fused path (the
+    reference's matching cache, mad/MaD.py:386-399, without a split-path
+    perf cliff)."""
+    import os as _os
     import jax.numpy as jnp
+    from .. import cache as _cache
     from ..parallel.mesh import batch_bucket
     from .dock_fused import (_compiled_dock_select, _compiled_dock_post,
-                             _compiled_rescue_select, cloud_moments)
+                             _compiled_rescue_select,
+                             _compiled_cached_select, cloud_moments)
 
     fc = cfg.filter
     mc = cfg.match
     n_samples = fc.n_samples * n_copies
 
-    with stage("match"):
-        pairs = match_pairs(map_set, sub_set, mc, mesh=mesh)
-    if pairs is None:
+    cached_table = None
+    if match_cache and _os.path.exists(match_cache):
+        cached_table = _cache.load_matching(match_cache)
         if verbose:
-            print(f"MaD> 0 descriptor pairs above cc={mc.cc_threshold:.2f}")
-        return []
-    ccs, rows, cols = pairs["ccs"], pairs["rows"], pairs["cols"]
-    rot, hi_coord, lo_coord = (pairs["rot"], pairs["hi_coord"],
-                               pairs["lo_coord"])
-    hi_cloud, lo_cloud = pairs["hi_cloud"], pairs["lo_cloud"]
-    n_pairs = len(rows)
+            print(f"MaD> Loaded matched descriptor pairs from {match_cache}")
+        if cached_table.n == 0:
+            return []
+        ccs, rows, cols = (cached_table.cc, cached_table.hi_idx,
+                           cached_table.lo_idx)
+        rot, hi_coord, lo_coord = (cached_table.rot, cached_table.hi_coord,
+                                   cached_table.lo_coord)
+        hi_cloud, lo_cloud = cached_table.hi_cloud, cached_table.lo_cloud
+        n_pairs = cached_table.n
+    else:
+        with stage("match"):
+            pairs = match_pairs(map_set, sub_set, mc, mesh=mesh)
+        if pairs is None:
+            if verbose:
+                print(f"MaD> 0 descriptor pairs above "
+                      f"cc={mc.cc_threshold:.2f}")
+            return []
+        ccs, rows, cols = pairs["ccs"], pairs["rows"], pairs["cols"]
+        rot, hi_coord, lo_coord = (pairs["rot"], pairs["hi_coord"],
+                                   pairs["lo_coord"])
+        hi_cloud, lo_cloud = pairs["hi_cloud"], pairs["lo_cloud"]
+        n_pairs = len(rows)
     if verbose:
         print(f"MaD> {n_pairs} descriptor pairs above "
               f"cc={mc.cc_threshold:.2f}")
@@ -271,17 +298,33 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         (lo_cloud_p - origin_f) / dmap.voxsp).astype(np.int32),
         0, np.asarray(dmap.shape) - 1)
 
-    with stage("match"):
-        sel_fn = _compiled_dock_select(
-            tuple(dmap.shape), r_vox, a_hi, a_lo, p, pe, n_scan, c_cap, nb,
-            float(mc.anchor_dist), float(fc.rmsd_cloud),
-            int(fc.weight_threshold), float(fc.min_repeat),
-            float(fc.repeat_frac), mesh=mesh)
-        sel, starts, frozen0 = sel_fn(
-            lo_vox, lo_valid, hi_cloud_p, hi_valid, lo_cloud_p, origin_f,
-            np.float32(1.0 / dmap.voxsp), rot_p, hc_p, lc_p,
-            np.int32(n_pairs), np.int32(min(n_exact, n_pairs)),
-            np.int32(min(n_samples, n_pairs)), mu, M, x0p)
+    if cached_table is not None:
+        # Cache hit: repeatabilities are already in the table (exact for
+        # the ordering-critical prefix, like the miss path computes), so
+        # the field/approx/exact programs drop; one small dispatch runs
+        # ordering + clustering + starts on the loaded values.
+        rep_p = np.zeros(p, np.float32)
+        rep_p[:n_pairs] = cached_table.repeat
+        with stage("match"):
+            sel_fn = _compiled_cached_select(
+                p, n_scan, c_cap, nb, float(fc.rmsd_cloud),
+                int(fc.weight_threshold), float(fc.min_repeat),
+                float(fc.repeat_frac))
+            sel, starts, frozen0 = sel_fn(
+                rep_p, rot_p, hc_p, lc_p, np.int32(n_pairs),
+                np.int32(min(n_samples, n_pairs)), mu, M, x0p)
+    else:
+        with stage("match"):
+            sel_fn = _compiled_dock_select(
+                tuple(dmap.shape), r_vox, a_hi, a_lo, p, pe, n_scan, c_cap,
+                nb, float(mc.anchor_dist), float(fc.rmsd_cloud),
+                int(fc.weight_threshold), float(fc.min_repeat),
+                float(fc.repeat_frac), mesh=mesh)
+            sel, starts, frozen0 = sel_fn(
+                lo_vox, lo_valid, hi_cloud_p, hi_valid, lo_cloud_p, origin_f,
+                np.float32(1.0 / dmap.voxsp), rot_p, hc_p, lc_p,
+                np.int32(n_pairs), np.int32(min(n_exact, n_pairs)),
+                np.int32(min(n_samples, n_pairs)), mu, M, x0p)
     use_post = int(fc.rescue_rounds) >= 1
     with stage("refine"):
         res = refine_candidates(dmap, None, cfg.refine, mesh=mesh,
@@ -339,6 +382,8 @@ def _dock_structure_fused(map_set: DescriptorSet, sub_set: DescriptorSet,
         cc=ccs[o], repeat=np.asarray(rep_full)[o], hi_idx=rows[o],
         lo_idx=cols[o], rot=rot[o], hi_coord=hi_coord[o],
         lo_coord=lo_coord[o], hi_cloud=hi_cloud, lo_cloud=lo_cloud)
+    if match_cache and cached_table is None:
+        _cache.save_matching(table, match_cache)
     hi_bins = sub_set.main_bin[table.hi_idx]
     lo_bins = map_set.main_bin[table.lo_idx]
 
@@ -563,14 +608,15 @@ def dock_structure(map_set: DescriptorSet, sub_set: DescriptorSet,
     import os as _os
     from .. import cache as _cache
 
-    if (not match_cache
-            and _os.environ.get("MAD_TPU_FUSED_DOCK", "1") != "0"):
-        # Default path (single-device or mesh): the post-similarity chain
-        # fuses into one dispatch per round and the refinement chains on
-        # device.
+    if _os.environ.get("MAD_TPU_FUSED_DOCK", "1") != "0":
+        # Default path (single-device or mesh, match_cache included): the
+        # post-similarity chain fuses into one dispatch per round and the
+        # refinement chains on device. The split path below remains only
+        # behind MAD_TPU_FUSED_DOCK=0.
         return _dock_structure_fused(map_set, sub_set, sub_struct, dmap,
                                      resolution, cfg, n_copies, verbose,
-                                     on_filtered, mesh=mesh)
+                                     on_filtered, mesh=mesh,
+                                     match_cache=match_cache)
 
     n_samples = cfg.filter.n_samples * n_copies
 

@@ -176,7 +176,7 @@ def _compiled_refine(shape: Tuple[int, int, int], c: int, n: int,
                               P(ax), P(ax, None, None)),
                    # the while_loop carry mixes replicated inits with
                    # shard-varying updates; skip the static VMA check
-                   check_vma=False)
+                   check_vma=True)
     return jax.jit(sm)
 
 

@@ -192,7 +192,7 @@ def _compiled_describe(shape: Tuple[int, int, int],
                    out_specs=(P(ax, None), P(ax), P(ax), P(ax)),
                    # replicated lane tables mix with shard-varying
                    # selections inside; skip the static VMA check
-                   check_vma=False)
+                   check_vma=True)
     return jax.jit(sm)
 
 

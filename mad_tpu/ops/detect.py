@@ -112,13 +112,16 @@ def _detect_core(shape: Tuple[int, int, int],
     rx, ry, rz = real_shape
     eb = exclude_border
 
-    def localize(vol, seed, gather_off=None):
+    def localize(vol, seed, gather_off=None, cast=lambda x: x):
         """Newton walk from one peak; returns (coords, subvox, accepted).
 
         gather_off: optional (3,) offset subtracted from the (global) walk
         position for the 3x3x3 gathers — the sharded path passes a
         halo-extended local block while the walk itself stays in global
-        coordinates (bounds clamp against the real extent either way)."""
+        coordinates (bounds clamp against the real extent either way).
+        cast: VMA promotion applied to the loop-carry inits — the sharded
+        path walks on a shard-varying block, so replicated inits must be
+        pvaried for shard_map's varying-manual-axes check."""
 
         def body(_, state):
             pos, offset, H, accepted, bad = state
@@ -142,9 +145,9 @@ def _detect_core(shape: Tuple[int, int, int],
             return (new_pos, new_off, new_H,
                     accepted | (acc_now & ~bad), bad | (~ok & ~accepted))
 
-        init = (seed, jnp.zeros(3, dtype=vol.dtype),
-                jnp.zeros((3, 3), dtype=vol.dtype),
-                jnp.array(False), jnp.array(False))
+        init = (cast(seed), cast(jnp.zeros(3, dtype=vol.dtype)),
+                cast(jnp.zeros((3, 3), dtype=vol.dtype)),
+                cast(jnp.array(False)), cast(jnp.array(False)))
         pos, offset, H, accepted, _bad = lax.fori_loop(0, n_iter, body, init)
         good = accepted & _neg_semidefinite(H)
         return pos, pos.astype(vol.dtype) + offset, good
@@ -200,7 +203,7 @@ def _detect_core(shape: Tuple[int, int, int],
     # merged seed Newton-localizes on the device owning its slab (halo
     # covers the <= n_iter-voxel walk); a psum rebuilds the replicated
     # anchor table.
-    from ..parallel.mesh import mesh_axis
+    from ..parallel.mesh import mesh_axis, gather_invariant, pvary
     from ..parallel.volume import halo_extend
     ax = mesh_axis(mesh)
     n_sh = mesh.shape[ax]
@@ -223,8 +226,11 @@ def _detect_core(shape: Tuple[int, int, int],
         seeds_l = jnp.stack(
             jnp.unravel_index(flat_l, (blk,) + shape[1:]), axis=-1
         ).astype(jnp.int32) + jnp.array([x0, 0, 0], jnp.int32)[None]
-        vals_all = lax.all_gather(vals_l, ax)               # (n, K)
-        seeds_all = lax.all_gather(seeds_l, ax)             # (n, K, 3)
+        # Invariant gathers: every device sees the identical merged
+        # candidate list, so vals/seeds are replicated by TYPE and the
+        # varying-manual-axes check can verify the replicated out_specs.
+        vals_all = gather_invariant(vals_l, ax)             # (n, K)
+        seeds_all = gather_invariant(seeds_l, ax)           # (n, K, 3)
         vals, sel = lax.top_k(vals_all.reshape(-1), capacity)
         seeds = seeds_all.reshape(-1, 3)[sel]
         valid_seed = vals > threshold
@@ -232,7 +238,8 @@ def _detect_core(shape: Tuple[int, int, int],
         own = (seeds[:, 0] >= x0) & (seeds[:, 0] < x0 + blk)
         goff = jnp.array([x0 - halo, 0, 0], jnp.int32)
         pos, subvox, good = jax.vmap(
-            lambda s: localize(ext, s, goff))(seeds)
+            lambda s: localize(ext, s, goff, cast=lambda v: pvary(v, ax))
+        )(seeds)
         ow = own.astype(jnp.int32)
         pos = lax.psum(pos * ow[:, None], ax)
         subvox = lax.psum(subvox * ow[:, None].astype(subvox.dtype), ax)
@@ -241,10 +248,7 @@ def _detect_core(shape: Tuple[int, int, int],
 
     sm = shard_map(detect_shard, mesh=mesh,
                    in_specs=(P(ax, None, None),),
-                   out_specs=(P(), P(), P(), P()),
-                   # the Newton fori_loop carries replicated seeds through
-                   # shard-varying gathers; skip the static VMA check
-                   check_vma=False)
+                   out_specs=(P(), P(), P(), P()))
     return sm
 
 

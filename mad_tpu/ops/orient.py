@@ -383,7 +383,7 @@ def _compiled_orient(shape: Tuple[int, int, int],
                               P(ax, None, None), P(ax), P(ax)),
                    # replicated anchor tables mix with shard-varying
                    # selections inside; skip the static VMA check
-                   check_vma=False)
+                   check_vma=True)
     return jax.jit(sm)
 
 

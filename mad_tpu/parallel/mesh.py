@@ -49,6 +49,19 @@ def batch_bucket(n: int, base: int, mesh: Optional[Mesh]) -> int:
     return ((int(n) + step - 1) // step) * step
 
 
+try:                                  # public from jax 0.10
+    from jax.lax import all_gather_invariant as gather_invariant
+except ImportError:                   # 0.9: implemented but not exported
+    from jax._src.lax.parallel import all_gather_invariant as gather_invariant
+
+
+def pvary(x, axis: str):
+    """Promote a replicated value to varying over ``axis`` (VMA cast) so
+    shard_map's varying-manual-axes check accepts loops whose carries mix
+    replicated inits with shard-varying updates."""
+    return jax.lax.pcast(x, axis, to="varying")
+
+
 def volume_sharding(mesh: Mesh, axis: str = "x") -> NamedSharding:
     """Shard a 3D volume along its first spatial axis."""
     return NamedSharding(mesh, P(axis, None, None))

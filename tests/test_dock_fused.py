@@ -135,6 +135,42 @@ def test_dock_frame_pinned_for_process(monkeypatch, tmp_path):
     assert pl._frames_adopt(key, (48,)) == (64,)
 
 
+def test_fused_match_cache_roundtrip(monkeypatch, tmp_path, trimer):
+    """match_cache no longer forfeits the fused path: the miss run saves the
+    table from the fused select's outputs, and the hit run reuses it WITHOUT
+    calling the similarity/repeatability programs (match_pairs) or falling
+    back to the split path (match_descriptors) — solutions equal both ways."""
+    from mad_tpu.engine import docking as dk
+
+    cfg, sub, copies, dmap, map_dsc, sub_dsc = trimer
+    cfg = cfg.replace(filter=dataclasses.replace(cfg.filter,
+                                                 rescue_rounds=1))
+    path = str(tmp_path / "matching.h5")
+    monkeypatch.setenv("MAD_TPU_FUSED_DOCK", "1")
+    plain = dock_structure(map_dsc, sub_dsc, sub, dmap, 8.0, cfg,
+                           n_copies=3, verbose=False)
+    miss = dock_structure(map_dsc, sub_dsc, sub, dmap, 8.0, cfg,
+                          n_copies=3, verbose=False, match_cache=path)
+    assert (tmp_path / "matching.h5").exists()
+
+    def boom(*a, **k):
+        raise AssertionError("similarity path ran on a match-cache hit")
+
+    monkeypatch.setattr(dk, "match_pairs", boom)
+    monkeypatch.setattr(dk, "match_descriptors", boom)
+    hit = dock_structure(map_dsc, sub_dsc, sub, dmap, 8.0, cfg,
+                         n_copies=3, verbose=False, match_cache=path)
+    assert len(plain) == len(miss) == len(hit) >= 3
+    for a, b in zip(plain, miss):
+        assert a.weight == b.weight
+        assert a.structure.rmsd_ca_with(b.structure) < 1e-3
+    for a, b in zip(miss, hit):
+        assert a.weight == b.weight
+        assert a.repeat == pytest.approx(b.repeat, abs=1e-4)
+        assert a.ccc == pytest.approx(b.ccc, abs=1e-5)
+        assert a.structure.rmsd_ca_with(b.structure) < 1e-3
+
+
 def test_fused_no_pairs(monkeypatch, trimer):
     cfg, sub, copies, dmap, map_dsc, sub_dsc = trimer
     cfg = cfg.replace(match=dataclasses.replace(cfg.match,
