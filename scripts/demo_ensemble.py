@@ -18,21 +18,9 @@ from mad_tpu import MaD
 from mad_tpu.core.grid import write_mrc
 from mad_tpu.core.structure import write_pdb
 from mad_tpu.ops.simulate import simulate_density
-from mad_tpu.testing import make_assembly
+from mad_tpu.testing import deform_structure as deform, make_assembly
 
 
-def deform(struct, scale, seed):
-    """Smooth low-frequency deformation (bend-like), magnitude ~scale A."""
-    rng = np.random.default_rng(seed)
-    c = struct.coords - struct.center()
-    ext = np.abs(c).max()
-    phase = rng.uniform(0, 2 * np.pi, 3)
-    disp = np.stack([
-        np.sin(c[:, 1] / ext * np.pi + phase[0]),
-        np.sin(c[:, 2] / ext * np.pi + phase[1]),
-        np.sin(c[:, 0] / ext * np.pi + phase[2]),
-    ], axis=1) * scale
-    return struct.with_coords(struct.coords + disp)
 
 
 def main():

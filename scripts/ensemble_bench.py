@@ -27,26 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 from mad_tpu import MaD                                   # noqa: E402
 from mad_tpu.core.grid import write_mrc                   # noqa: E402
 from mad_tpu.core.structure import write_pdb              # noqa: E402
-from mad_tpu.testing import make_assembly                 # noqa: E402
+from mad_tpu.testing import deform_structure as deform, make_assembly                 # noqa: E402
 
 # Deformation magnitudes (A) for the six decoy conformers; the analog of
 # the GroEL ensemble's RMSD ladder (true conformer = 0 A).
 DECOY_SCALES = (3.0, 5.0, 7.0, 9.0, 12.0, 15.0)
 
 
-def deform(struct, scale, seed):
-    """Smooth low-frequency deformation (bend-like), magnitude ~scale A
-    (same decoy model as scripts/demo_ensemble.py)."""
-    rng = np.random.default_rng(seed)
-    c = struct.coords - struct.center()
-    ext = np.abs(c).max()
-    phase = rng.uniform(0, 2 * np.pi, 3)
-    disp = np.stack([
-        np.sin(c[:, 1] / ext * np.pi + phase[0]),
-        np.sin(c[:, 2] / ext * np.pi + phase[1]),
-        np.sin(c[:, 0] / ext * np.pi + phase[2]),
-    ], axis=1) * scale
-    return struct.with_coords(struct.coords + disp)
 
 
 def main():
