@@ -13,6 +13,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Opt-in CPU run (MAD_TPU_CPU=1): the axon TPU plugin registers from
+# sitecustomize, so the env var alone does not win — force via jax.config
+# before any jax use (same pattern as scripts/dryrun_bench_mesh.py).
+if os.environ.get("MAD_TPU_CPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
 import numpy as np
 
 from mad_tpu.testing import DEGRADATION_LADDER, run_degraded

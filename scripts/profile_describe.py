@@ -31,7 +31,10 @@ def main():
     from bench import build_system
 
     cfg = MadConfig()
+    from mad_tpu.utils.warmup import replay
+    replay(block=False, only=("simulate", "grid"))
     sub, copies, dmap = build_system()
+    replay(block=False)
     print(f"map {dmap.shape}", flush=True)
 
     spec_k, lane_cap = pl._frames_adopt(

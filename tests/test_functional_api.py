@@ -45,6 +45,29 @@ def test_functional_pipeline(small_system):
     assert set(rep) == {2.0, 4.0, 6.0}
 
 
+def test_functional_smoke_fast(tmp_path):
+    """Fast-tier smoke of the core functional surface (ADVICE r4): setup ->
+    get_descriptors -> match_and_dock on a one-copy system small enough for
+    the fast tier; the full two-copy pipeline with benchmarking hooks stays
+    in the slow tier above."""
+    from mad_tpu.testing import make_protein
+
+    sub = make_protein(n_res=40, seed=3)
+    sub = sub.with_coords(sub.coords - sub.center())
+    sim = simulate_density(sub.coords, 10.0, 2.5, masses=sub.masses)
+    map_path = str(tmp_path / "smoke.mrc")
+    write_mrc(sim, map_path)
+    grid, cfg = F.setup(map_path, resolution=10.0)
+    assert grid.voxsp == pytest.approx(2.5)
+    map_set = F.get_descriptors(grid, 10.0, 2.5, cfg, name="smoke_m")
+    sub_set = F.get_descriptors(sub, 10.0, 2.5, cfg, name="smoke_s")
+    assert map_set.n > 0 and sub_set.n > 0
+    sols = F.match_and_dock(map_set, sub_set, sub, grid, 10.0, cfg,
+                            n_copies=1)
+    assert sols
+    assert min(s.structure.rmsd_ca_with(sub) for s in sols) < 3.0
+
+
 def test_profiling_stage_accumulates():
     profiling.show_timing(reset=True)
     with profiling.stage("unit_test_stage"):
