@@ -177,7 +177,8 @@ def _compiled_octave_chain(dims: tuple, sig_init: float, sig_presmooth: float,
                            gw_sig: float, subeqsp_size: int, subregions: int,
                            dsc_cutoff: float, zero_magn: float, lane_cap: int,
                            dsc_radius: int = 0, donate: bool = False,
-                           nan_watch: bool = False):
+                           nan_watch: bool = False,
+                           approx_peaks: bool = False):
     """ONE program for a whole octave: LoG + detection + anchor compaction
     -> gradient field -> orientation + lane compaction -> descriptors.
 
@@ -194,7 +195,7 @@ def _compiled_octave_chain(dims: tuple, sig_init: float, sig_presmooth: float,
 
     ld = _log_detect_body(dims, sig_init, sig_presmooth, up, truncate,
                           real_shape, threshold, exclude_border, max_offset,
-                          n_iter, capacity, spec_k)
+                          n_iter, capacity, spec_k, approx_peaks)
     gb = _grad_body(dims, sig_init, sig_presmooth, up, truncate, "float32")
     grad_shape = tuple(2 * s - 1 for s in dims) if up else tuple(dims)
     stride = 2 if up else 1
@@ -205,12 +206,12 @@ def _compiled_octave_chain(dims: tuple, sig_init: float, sig_presmooth: float,
                         subeqsp_size, subregions, dsc_cutoff, zero_magn, 128)
 
     def chain(vol):
-        coords_c, valid_c, order_a, subvox, n_anch = ld(vol)
+        coords_c, valid_c, order_a, subvox, n_anch, guard = ld(vol)
         gradf = gb(vol)
         (mains, secs, rfin_l, lane_ok, lane_anchor, lane_main, lane_sec,
          coords_l, n_valid) = ofu(gradf, coords_c, valid_c)
         descs, ok = db(gradf, coords_l, rfin_l, lane_ok)
-        out = (descs, (n_anch, n_valid),
+        out = (descs, (n_anch, n_valid, guard[0], guard[1]),
                (ok & lane_ok, lane_anchor, lane_main, lane_sec, coords_l,
                 rfin_l, subvox, mains, secs, order_a))
         if nan_watch:
@@ -257,7 +258,7 @@ def _compiled_gather_norm(lane_caps: tuple, kb: int):
 
 
 def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
-                  mesh=None, _caps=None) -> DescriptorSet:
+                  mesh=None, _caps=None, _exact=False) -> DescriptorSet:
     """Run the full anchor/orientation/descriptor chain on a density grid.
 
     Single device: the FUSED path — per octave, exactly three program
@@ -347,6 +348,8 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                 for s in dims_a:
                     dims_vox *= int(s)
                 nan_watch = sanitize.mode() == "stage"
+                from ..ops.scalespace import use_approx_peaks
+                approx = (not _exact) and use_approx_peaks(octv.real_shape)
                 fn = _compiled_octave_chain(
                     tuple(dims_a), float(s_i), float(s_p), bool(up_a),
                     float(tr), tuple(octv.real_shape),
@@ -362,7 +365,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                     dsc_radius=int(dsc_radius),
                     donate=bool(getattr(octv, "_final", False)
                                 and dims_vox > 8_000_000),
-                    nan_watch=nan_watch)
+                    nan_watch=nan_watch, approx_peaks=approx)
                 if nan_watch:
                     descs, counts_d, dev, grad_ok = fn(octv._data)
                     sanitize.watch(f"detect[o{oi}]", dev[6])   # subvox
@@ -372,7 +375,7 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
                 sanitize.watch(f"describe[o{oi}]", descs)
             pending.append(dict(
                 oi=oi, voxsp=octv.voxsp, origin=origin, base=anchor_base,
-                counts=counts_d, desc=descs, dev=dev))
+                counts=counts_d, desc=descs, dev=dev, approx=approx))
             anchor_base += det_cfg.max_anchors
             del octv
             continue
@@ -380,8 +383,8 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         with stage("detect"):
             # Fused LoG + detection + valid-first anchor compaction; the
             # LoG volume lives only inside the program.
-            coords_c, valid_c, order_a, subvox, n_anch_d = octv.log_detect(
-                det_cfg, spec_k)
+            (coords_c, valid_c, order_a, subvox, n_anch_d,
+             guard_d) = octv.log_detect(det_cfg, spec_k, exact=_exact)
             sanitize.watch(f"detect[o{oi}]", subvox)
         with stage("orient"):
             grad_vol = octv.grad()
@@ -403,9 +406,11 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
         # Defer every host pull to one consolidated device_get after the
         # octave loop: each pull syncs the tunneled host (~100 ms latency),
         # so per-octave pulls dominate the small-array traffic they carry.
+        from ..ops.scalespace import use_approx_peaks as _uap
         pending.append(dict(
             oi=oi, voxsp=octv.voxsp, origin=origin, base=anchor_base,
-            counts=(n_anch_d, n_valid_d),
+            counts=(n_anch_d, n_valid_d, guard_d[0], guard_d[1]),
+            approx=(not _exact) and _uap(octv.real_shape),
             desc=descs,
             dev=(ok & lane_ok, lane_anchor, lane_main, lane_sec,
                  coords_l, rfin_l, subvox, mains, secs, order_a)))
@@ -427,10 +432,29 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
     # remembered per (name, shape) so only the very first process pays the
     # redo; recursion terminates because caps grow strictly to the full
     # frame.
-    counts = [(int(c[0]), int(c[1])) for _dev, c in pulled if c is not None]
+    counts = [tuple(int(x) for x in c)
+              for _dev, c in pulled if c is not None]
+    approx_flags = [p.get("approx", False) for p in pending
+                    if p.get("counts") is not None]
     if mesh is None and counts:
         max_a = max(c[0] for c in counts)
         max_l = max(c[1] for c in counts)
+        # Approx-peak exactness guard (ops/detect approx_peaks): a chain
+        # whose approximate collection returned fewer above-threshold
+        # seeds than exist — or filled the whole anchor capacity, where
+        # the approximate tail ranking may differ from exact — redoes
+        # with exact collection. Steady state never pays this: the redo
+        # is a one-off compile, and the guard holds pass to pass on the
+        # same data.
+        miss = (not _exact) and any(
+            ap and len(c) >= 4 and (c[3] < min(c[2], det_cfg.max_anchors)
+                                    or c[2] >= det_cfg.max_anchors)
+            for ap, c in zip(approx_flags, counts))
+        if miss and not (max_a > spec_k or max_l > lane_cap):
+            print(f"MaD> describe[{name}]: approximate peak collection "
+                  "missed peaks; redoing with exact top-k")
+            return describe_grid(grid, cfg, name=name,
+                                 _caps=(spec_k, lane_cap), _exact=True)
         if max_a > spec_k or max_l > lane_cap:
             new_k = _rung(max_a, min(512, full_k), full_k)
             # Lane counts were measured under a truncated anchor frame:
@@ -445,7 +469,8 @@ def describe_grid(grid: DensityGrid, cfg: MadConfig, name: str = "",
             # The redo compiles the larger frame now; keep using it for the
             # rest of the process (mid-process shrink = fresh compile).
             _frames_repin(frame_key, redo)
-            return describe_grid(grid, cfg, name=name, _caps=redo)
+            return describe_grid(grid, cfg, name=name, _caps=redo,
+                                 _exact=_exact or miss)
         if _caps is None:
             # Remember the right-sized rung (shrinks oversized defaults for
             # small structures, e.g. a subunit at the 2048-lane default).

@@ -155,7 +155,8 @@ def _compiled_log_detect(shape: Tuple[int, int, int], sig_init: float,
                          sig_presmooth: float, up: bool, truncate: float,
                          real_shape: Tuple[int, int, int], threshold: float,
                          exclude_border: int, max_offset: float, n_iter: int,
-                         capacity: int, spec_k: int):
+                         capacity: int, spec_k: int,
+                         approx_peaks: bool = False):
     """Fused LoG + anchor detection + valid-first anchor compaction: one
     dispatch, no LoG volume crossing a program boundary, no host sync for
     the anchor count (it returns as an async scalar). On the tunneled-host
@@ -164,20 +165,41 @@ def _compiled_log_detect(shape: Tuple[int, int, int], sig_init: float,
     (engine/pipeline.py fused path)."""
     return jax.jit(_log_detect_body(
         shape, sig_init, sig_presmooth, up, truncate, real_shape, threshold,
-        exclude_border, max_offset, n_iter, capacity, spec_k))
+        exclude_border, max_offset, n_iter, capacity, spec_k, approx_peaks))
+
+
+def use_approx_peaks(real_shape) -> bool:
+    """Approximate (guarded) peak collection pays only where the exact
+    two-stage top_k hurts: 10^7+-voxel octaves off-CPU. CPU stays exact
+    (the approx op lowers to a slow sort emulation there, and the parity
+    suite runs on CPU)."""
+    import os
+    if os.environ.get("MAD_TPU_EXACT_PEAKS", "") not in ("", "0"):
+        return False
+    n = 1
+    for s in real_shape:
+        n *= int(s)
+    if n <= (1 << 22):
+        return False
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:       # pragma: no cover - backend init failure
+        return False
 
 
 def _log_detect_body(shape, sig_init, sig_presmooth, up, truncate,
                      real_shape, threshold, exclude_border, max_offset,
-                     n_iter, capacity, spec_k):
+                     n_iter, capacity, spec_k, approx_peaks=False):
     """Unjitted LoG+detect+compaction body (shared with the whole-octave
-    fused chain, engine/pipeline._compiled_octave_chain)."""
+    fused chain, engine/pipeline._compiled_octave_chain). The last output
+    is the (n_peaks_exact, n_seed) guard pair (ops/detect approx_peaks
+    docstring); callers redo with approx_peaks=False when they differ."""
     from .detect import _detect_core
 
     log_shape = (tuple(2 * s - 1 for s in shape) if up else tuple(shape))
     det = _detect_core(log_shape, tuple(real_shape), float(threshold),
                        int(exclude_border), float(max_offset), int(n_iter),
-                       int(capacity))
+                       int(capacity), approx_peaks=bool(approx_peaks))
 
     def build(vol):
         if up:
@@ -185,10 +207,10 @@ def _log_detect_body(shape, sig_init, sig_presmooth, up, truncate,
             if sig_presmooth:
                 vol = gaussian_filter3d(vol, sig_presmooth, truncate)
         log_resp, _ = log_filter3d(vol, sig_init, truncate)
-        pos, subvox, vals, valid = det(log_resp)
+        pos, subvox, vals, valid, guard = det.counts(log_resp)
         n_anch = jnp.sum(valid)
         order_a = jnp.argsort(~valid, stable=True)[:spec_k].astype(jnp.int32)
-        return pos[order_a], valid[order_a], order_a, subvox, n_anch
+        return pos[order_a], valid[order_a], order_a, subvox, n_anch, guard
 
     return build
 
@@ -269,14 +291,17 @@ class LazyOctave:
             return _compiled_log(*self._args)(self._data)
         return _compiled_log(*self._args, mesh=self._mesh)(self._data)
 
-    def log_detect(self, det_cfg, spec_k: int):
+    def log_detect(self, det_cfg, spec_k: int, exact: bool = False):
         """Fused LoG + detection + anchor compaction (single-device fast
-        path): returns (coords_c, valid_c, order_a, subvox_full, n_anch),
-        all device-resident, no sync."""
+        path): returns (coords_c, valid_c, order_a, subvox_full, n_anch,
+        guard), all device-resident, no sync. guard = (n_peaks_exact,
+        n_seed); exact=True forces exact peak collection (the redo path)."""
+        approx = (not exact) and use_approx_peaks(self.real_shape)
         fn = _compiled_log_detect(
             *self._args, tuple(self.real_shape), float(det_cfg.threshold_abs),
             int(det_cfg.exclude_border), float(det_cfg.max_offset),
-            int(det_cfg.newton_iters), int(det_cfg.max_anchors), int(spec_k))
+            int(det_cfg.newton_iters), int(det_cfg.max_anchors), int(spec_k),
+            approx_peaks=approx)
         return fn(self._data)
 
     def grad(self):

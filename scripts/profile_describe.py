@@ -50,8 +50,8 @@ def main():
             oi += 1
             upsampled = octv.voxsp < dmap.voxsp
             t0 = time.time()
-            coords_c, valid_c, order_a, subvox, n_anch_d = octv.log_detect(
-                cfg.detect, spec_k)
+            (coords_c, valid_c, order_a, subvox, n_anch_d,
+             _guard) = octv.log_detect(cfg.detect, spec_k)
             sync(n_anch_d)
             t1 = time.time()
             grad_vol = octv.grad()

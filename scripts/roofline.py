@@ -77,6 +77,11 @@ def main():
     dsc_radius = (cfg.describe.patch_size - cfg.describe.patch_size % 2) // 2
 
     det = cfg.detect
+
+    def approx(octv):
+        from mad_tpu.ops.scalespace import use_approx_peaks
+        return use_approx_peaks(octv.real_shape)
+
     oi = -1
     for origin, octv in iter_lazy_octaves(dmap, cfg.scalespace,
                                           cfg.shape_bucket):
@@ -92,7 +97,7 @@ def main():
             float(cfg.orient.gw_sig), cfg.describe.subeqsp_size,
             cfg.describe.subregions, float(cfg.describe.cutoff_magn),
             float(cfg.describe.zero_magn), int(lane_cap),
-            dsc_radius=int(dsc_radius))
+            dsc_radius=int(dsc_radius), approx_peaks=approx(octv))
         timed(fn, (octv._data,), f"map oct{oi} chain "
               f"{tuple(octv.real_shape)} up={bool(up_a)}", rows)
         del octv
